@@ -12,6 +12,7 @@ precomputation (same trick as ref: src/core.cpp:287-289).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..params import B_I, P_I
@@ -54,19 +55,25 @@ def ntt_inverse(x, tb: NttTables):
 
 
 class CrtNtt:
-    """Both CRT limbs: transforms arrays shaped (..., 2, d)."""
+    """Both CRT limbs: transforms arrays shaped (..., 2, d).
+
+    forward/inverse are jitted once per input shape; the tables are closed
+    over so eager call sites pay a single compile instead of one per stage.
+    """
 
     def __init__(self, d: int):
         self.d = d
         self.tb_p = ntt_tables(P_I, d)
         self.tb_b = ntt_tables(B_I, d)
+        self.forward = jax.jit(self._forward)
+        self.inverse = jax.jit(self._inverse)
 
-    def forward(self, x):
+    def _forward(self, x):
         return jnp.stack(
             [ntt_forward(x[..., 0, :], self.tb_p),
              ntt_forward(x[..., 1, :], self.tb_b)], axis=-2)
 
-    def inverse(self, x):
+    def _inverse(self, x):
         return jnp.stack(
             [ntt_inverse(x[..., 0, :], self.tb_p),
              ntt_inverse(x[..., 1, :], self.tb_b)], axis=-2)

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 from functools import lru_cache
 
-import jax.numpy as jnp
 import numpy as np
 
 from .mod import mod_ctx
@@ -47,14 +46,15 @@ def primitive_root(p: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class NttTables:
-    """Device tables for one modulus p and ring degree d."""
+    """Tables for one modulus p and ring degree d (host numpy arrays —
+    cached tables must never hold traced device values)."""
 
     p: int
     d: int
-    twist: jnp.ndarray          # psi^i, i in [0, d)
-    twist_shoup: jnp.ndarray
-    untwist: jnp.ndarray        # d^{-1} * psi^{-i}
-    untwist_shoup: jnp.ndarray
+    twist: np.ndarray           # psi^i, i in [0, d)
+    twist_shoup: np.ndarray
+    untwist: np.ndarray         # d^{-1} * psi^{-i}
+    untwist_shoup: np.ndarray
     fwd_tw: tuple                # per stage s: omega^{2^s * j}, j in [0, d/2^{s+1})
     fwd_tw_shoup: tuple
     inv_tw: tuple                # inverses of fwd_tw
@@ -88,17 +88,17 @@ def ntt_tables(p: int, d: int) -> NttTables:
             tw[j] = cur
             cur = (cur * w) % p
         tw_inv = np.array([pow(int(v), p - 2, p) for v in tw], dtype=np.uint64)
-        fwd_tw.append(jnp.asarray(tw.astype(np.uint32)))
-        fwd_sh.append(jnp.asarray(ctx.shoup(tw)))
-        inv_tw.append(jnp.asarray(tw_inv.astype(np.uint32)))
-        inv_sh.append(jnp.asarray(ctx.shoup(tw_inv)))
+        fwd_tw.append(tw.astype(np.uint32))
+        fwd_sh.append(ctx.shoup(tw))
+        inv_tw.append(tw_inv.astype(np.uint32))
+        inv_sh.append(ctx.shoup(tw_inv))
 
     return NttTables(
         p=p, d=d,
-        twist=jnp.asarray(twist.astype(np.uint32)),
-        twist_shoup=jnp.asarray(ctx.shoup(twist)),
-        untwist=jnp.asarray(untwist.astype(np.uint32)),
-        untwist_shoup=jnp.asarray(ctx.shoup(untwist)),
+        twist=twist.astype(np.uint32),
+        twist_shoup=ctx.shoup(twist),
+        untwist=untwist.astype(np.uint32),
+        untwist_shoup=ctx.shoup(untwist),
         fwd_tw=tuple(fwd_tw), fwd_tw_shoup=tuple(fwd_sh),
         inv_tw=tuple(inv_tw), inv_tw_shoup=tuple(inv_sh),
     )

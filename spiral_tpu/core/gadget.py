@@ -57,6 +57,11 @@ def _digit_to_residues(piece):
         [mod_ctx(p).reduce_u32(piece) for p in MODS], axis=-2)
 
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("mx", "rdim"))
 def gadget_invert_raw(x, mx: int, rdim: int):
     """Unsigned base-z digit decomposition (ref: src/util.cpp:114-144).
 
@@ -79,6 +84,7 @@ def gadget_invert(x: PolyMat, mx: int, rdim: int | None = None) -> PolyMat:
     return PolyMat(gadget_invert_raw(x.data, mx, rdim), ntt=False)
 
 
+@functools.partial(jax.jit, static_argnames=("num_elems", "rdim"))
 def gadget_invert_signed_raw(x, num_elems: int, rdim: int):
     """Signed digits with carry, matching split_and_crt's two-half chains
     (ref: src/spiral.cpp:283-332).

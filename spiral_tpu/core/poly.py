@@ -24,14 +24,13 @@ from ..arith.crt import const_residues
 from ..arith.ntt import crt_ntt
 
 MODS = (P_I, B_I)
-_P_VEC = None
+# Host constant (never a jnp array: caching device arrays created inside a
+# jit trace would leak tracers).
+_P_VEC_NP = np.array([[P_I], [B_I]], dtype=np.uint32)
 
 
 def _p_vec():
-    global _P_VEC
-    if _P_VEC is None:
-        _P_VEC = jnp.array([P_I, B_I], dtype=jnp.uint32).reshape(2, 1)
-    return _P_VEC
+    return _P_VEC_NP
 
 
 # ---- raw tensor ops (shape (..., 2, d) trailing) ---------------------------
@@ -63,6 +62,11 @@ def mul_raw(a, b):
     return jnp.stack(outs, axis=-2)
 
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def matmul_raw(a, b, chunk: int = 16):
     """NTT-domain matrix product (ref: src/poly.cpp:34-78).
 
@@ -128,9 +132,10 @@ def _automorph_tables(d: int, t: int):
         j = (i * t) % d
         src[j] = i
         neg[j] = ((i * t) // d) % 2 == 1
-    return jnp.asarray(src), jnp.asarray(neg)
+    return src, neg  # host arrays: safe to cache across jit traces
 
 
+@functools.partial(jax.jit, static_argnames=("t",))
 def automorph_raw(a, t: int):
     """tau_t in coefficient domain: out[(i*t) mod d] = +/- a[i]."""
     d = a.shape[-1]
@@ -270,3 +275,10 @@ class PolyMat:
     def to_host_centered(self) -> np.ndarray:
         v = self.to_host_int()
         return np.where(v >= Q // 2, v - Q, v)
+
+
+jax.tree_util.register_pytree_node(
+    PolyMat,
+    lambda pm: ((pm.data,), pm.ntt),
+    lambda ntt, children: PolyMat(children[0], ntt),
+)

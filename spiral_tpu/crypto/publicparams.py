@@ -1,0 +1,82 @@
+"""Public (server-side) key material.
+
+W_exp_left/right: automorphism key-switch matrices for expansion
+(ref: src/client.cpp:271-298, src/testing.cpp:21-38).
+W_conv: composition key for scalToMat (ref: src/spiral.cpp:2216-2227).
+V: conversion key for regevToGSW (ref: src/spiral.cpp:2278-2295).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from ..params import LOG_Q, Params
+from ..core.poly import PolyMat
+from ..core.gadget import build_gadget
+from .encrypt import Encryptor
+from .keys import SecretKeys
+
+
+@dataclasses.dataclass
+class PublicParams:
+    W_exp_left: list | None    # g cts, each (n0, m_exp, 2, d) NTT
+    W_exp_right: list | None
+    W_conv: PolyMat            # n1 x n0*m_conv, NTT
+    V: PolyMat                 # n1 x 2*m_conv, NTT
+    size_bytes: int = 0
+
+
+def _pub_size(mat_shape, d) -> int:
+    return mat_shape[0] * mat_shape[1] * d * LOG_Q // 8
+
+
+def expansion_keyswitch_matrices(enc: Encryptor, keys: SecretKeys, key,
+                                 rounds: int, m_exp: int, d: int) -> list:
+    """W_exp_v[r] = Enc_sr(tau_t(sr) * G_exp), t = d/2^r + 1."""
+    G_exp = build_gadget(1, m_exp, d).to_ntt()
+    s0 = keys.sr
+    out = []
+    ks = jax.random.split(key, max(rounds, 1))
+    for r in range(rounds):
+        t = (d >> r) + 1
+        tau_s0 = s0.automorph(t).to_ntt()
+        msg = tau_s0 @ G_exp                      # 1 x m_exp
+        out.append(enc.encrypt_simple_regev_matrix(ks[r], msg))
+    return out
+
+
+def generate_public_params(params: Params, keys: SecretKeys, enc: Encryptor,
+                           key) -> PublicParams:
+    d = params.poly_len
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    size = 0
+
+    W_exp_left = W_exp_right = None
+    if not (params.direct_upload_first and params.direct_upload_rest):
+        g, stop = params.g, params.stopround
+        right_rounds = (stop + 1) if stop > 0 else g
+        W_exp_left = expansion_keyswitch_matrices(
+            enc, keys, k1, g, params.m_exp, d)
+        W_exp_right = expansion_keyswitch_matrices(
+            enc, keys, k2, right_rounds, params.m_exp_right, d)
+        size += sum(_pub_size((w.rows, w.cols), d)
+                    for w in W_exp_left + W_exp_right)
+
+    # W_conv = Enc_S(sr * G_{n0 x n0*m_conv})
+    G_scale = build_gadget(params.n0, params.n0 * params.m_conv, d)
+    s0G = G_scale.to_ntt().scalar_mul(keys.sr.to_ntt())
+    W_conv = enc.encrypt_matrix(k3, s0G)
+    size += _pub_size((W_conv.rows, W_conv.cols), d)
+
+    # V = Enc_S(Sp * [sr*g | g])
+    gv = build_gadget(1, params.m_conv, d).to_ntt()
+    s0gv = gv.scalar_mul(keys.sr.to_ntt())
+    together = PolyMat.hstack(s0gv, gv)           # 1 x 2*m_conv
+    msg = keys.Sp.to_ntt() @ together             # n0 x 2*m_conv
+    V = enc.encrypt_matrix(k4, msg)
+    if not params.direct_upload_rest:
+        size += _pub_size((V.rows, V.cols), d)
+
+    return PublicParams(W_exp_left=W_exp_left, W_exp_right=W_exp_right,
+                        W_conv=W_conv, V=V, size_bytes=size)

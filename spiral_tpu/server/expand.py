@@ -1,0 +1,90 @@
+"""Automorphism-based coefficient expansion.
+
+TPU-native re-design of expandImproved / coefficientExpansion
+(ref: src/spiral.cpp:1664-1743, src/testing.cpp:40-105).  The reference
+walks ciphertexts one at a time; here every round processes the whole
+surviving batch at once: one batched inverse NTT, one gather
+(automorphism), one batched gadget decomposition + NTT, and one batched
+key-switch matmul for each of the two gadget widths (first-dim slots use
+W_left/m_exp on even indices, GSW slots W_right/m_exp_right on odd).
+
+Round r maps 2^r cts -> 2^{r+1} via
+  cv[num_in + i] = x^{-2^r} * cv[i]
+  cv[i] += KeySwitch_W(tau_t(cv[i])),  t = d/2^r + 1.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import Params
+from ..arith.ntt import crt_ntt
+from ..core.poly import (PolyMat, add_raw, automorph_raw, matmul_raw,
+                         scalar_mul_raw)
+from ..core.gadget import gadget_invert_raw
+
+
+def _neg_monomial_ntt(r: int, d: int) -> jnp.ndarray:
+    """NTT of x^{-2^r} = -x^{d - 2^r} (ref: spiral.cpp:184-192)."""
+    pm = PolyMat.monomial(-1, d - (1 << r), d)
+    return pm.to_ntt().data[0, 0]
+
+
+def _keyswitch_batch(cv, W, m_exp: int, t: int, eng):
+    """One expansion update for a batch of cts.
+
+    cv: (N, base, 1, 2, d) NTT.  W: (base, m_exp, 2, d) NTT.
+    Returns cv + KeySwitch(tau_t(cv)).
+    """
+    c = eng.inverse(cv)
+    c_auto = automorph_raw(c, t)
+    c0 = c_auto[:, 0:1]                       # (N, 1, 1, 2, d)
+    c1_ntt = eng.forward(c_auto[:, 1:2])      # (N, 1, 1, 2, d)
+    ginv = gadget_invert_raw(c0, m_exp, 1)    # (N, m_exp, 1, 2, d)
+    ginv_ntt = eng.forward(ginv)
+    w_prod = matmul_raw(W, ginv_ntt)          # (N, base, 1, 2, d)
+    out = add_raw(cv, w_prod)
+    # add tau(c)_1 to the bottom row only (ref: spiral.cpp:1728-1737)
+    base = cv.shape[1]
+    bottom = add_raw(out[:, base - 1:base], c1_ntt)
+    return jnp.concatenate([out[:, :base - 1], bottom], axis=1)
+
+
+def coefficient_expansion(cv0, g: int, W_left_v, W_right_v, params: Params,
+                          max_bits_to_gen_right: int = 0, stopround: int = 0):
+    """Expand one ct into 2^g cts.
+
+    cv0: (base, 1, 2, d) NTT.  W_left_v/W_right_v: lists of (base, m, 2, d).
+    Returns (2^g, base, 1, 2, d).  Skip rules mirror the reference: with
+    stopround > 0, odd slots stop expanding after round `stopround`.
+    """
+    d = params.poly_len
+    eng = crt_ntt(d)
+    cv = cv0[None]  # (1, base, 1, 2, d)
+    for r in range(g):
+        t = (d >> r) + 1
+        neg1 = _neg_monomial_ntt(r, d)
+        cv = jnp.concatenate([cv, scalar_mul_raw(neg1, cv)], axis=0)
+        num_out = cv.shape[0]
+
+        evens = cv[0::2]
+        odds = cv[1::2]
+        new_evens = _keyswitch_batch(evens, W_left_v[r], params.m_exp, t, eng)
+        if stopround == 0 or r <= stopround:
+            new_odds = _keyswitch_batch(
+                odds, W_right_v[r], params.m_exp_right, t, eng)
+            if stopround > 0 and r == stopround:
+                # odd slot i (ct index 2i+1) only needed for i <= max_bits
+                keep = (jnp.arange(odds.shape[0]) <= max_bits_to_gen_right)
+                new_odds = jnp.where(
+                    keep[:, None, None, None, None], new_odds, odds)
+        else:
+            new_odds = odds
+        cv = jnp.stack([new_evens, new_odds], axis=1).reshape(
+            (num_out,) + cv.shape[1:])
+    return cv
+
+
+def reorder_from_stopround(cv, even_count: int, odd_count: int):
+    """Evens first then odds (ref: spiral.cpp:2027-2036)."""
+    return jnp.concatenate([cv[0::2][:even_count], cv[1::2][:odd_count]],
+                           axis=0)
