@@ -1,0 +1,327 @@
+"""SpiralPack / SpiralStreamPack: the high-rate variant
+(ref: src/testing.cpp:777-1155 testHighRate).
+
+The scheme runs out_n^2 independent scalar-Regev PIR pipelines (base_dim=2
+cts over 1x1-poly records) and packs the out_n^2 result ciphertexts into a
+single (out_n+1) x out_n matrix ciphertext before the two-modulus modulus
+switch.  Unlike the reference, the out_n^2 "trials" execute as one batched
+tensor program (leading trial axis) instead of a serial loop
+(ref: testing.cpp:1045-1062).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Params, Q, get_bits_per
+from .arith.ntt import crt_ntt
+from .core.poly import PolyMat, add_raw, matmul_raw, sub_raw
+from .core.gadget import build_gadget, gadget_invert_raw
+from .crypto.keys import keygen, SecretKeys
+from .crypto.encrypt import Encryptor
+from .crypto.decode import Response, decode_response
+from .core.rescale import rescale_array
+from .crypto.query import Query
+from .pir import ServerTimings
+from .server.db import EncodedDb
+from .server.expand import coefficient_expansion
+
+
+# ---------------------------------------------------------------------------
+# public params
+
+@dataclasses.dataclass
+class PackPublicParams:
+    v_W: jnp.ndarray            # (out_n, out_n+1, m_conv, 2, d) packing keys
+    W_exp_left: list | None
+    W_exp_right: list | None
+    V: PolyMat | None           # (2, 2*m_conv) conversion key
+    size_bytes: int = 0
+
+
+def pack_g_stop(params: Params) -> tuple[int, int]:
+    """Expansion depth for the pack variant (ref: testing.cpp:797-799):
+    stopround is used unconditionally."""
+    import math
+    ell = params.t_gsw
+    num_bits = ell * params.further_dims + params.dim0
+    g = max(1, math.ceil(math.log2(num_bits)))
+    stop = max(1, math.ceil(math.log2(ell * params.further_dims)))
+    return g, stop
+
+
+class PackClient:
+    def __init__(self, params: Params, seed: int = 0, nonoise: bool = False):
+        self.params = params
+        self.nonoise = nonoise
+        key = jax.random.key(seed)
+        k_sk, self._k_pub, self._k_query = jax.random.split(key, 3)
+        self.keys: SecretKeys = keygen(params, k_sk, n_val=params.out_n, k=1,
+                                       nonoise=nonoise)
+        self.enc = Encryptor(self.keys, params.poly_len, nonoise=nonoise)
+
+    # -- setup ---------------------------------------------------------------
+    def setup(self) -> PackPublicParams:
+        from .crypto.publicparams import expansion_keyswitch_matrices, _pub_size
+        p = self.params
+        d = p.poly_len
+        out_n, m_conv = p.out_n, p.m_conv
+        k1, k2, k3, k4 = jax.random.split(self._k_pub, 4)
+        size = 0
+
+        # packing keys: v_W[r] = Enc_S(row r = sr * g)  (ref: 917-925)
+        g_vec = build_gadget(1, m_conv, d).to_ntt()
+        s0g = g_vec.scalar_mul(self.keys.sr.to_ntt())   # 1 x m_conv
+        ws = []
+        for r, kk in enumerate(jax.random.split(k1, out_n)):
+            AG = PolyMat.zeros(out_n, m_conv, d, ntt=True).place(s0g, r, 0)
+            ws.append(self.enc.encrypt_matrix(kk, AG, n_out=out_n).data)
+        v_W = jnp.stack(ws)
+        size += out_n * (out_n + 1) * m_conv * d * 56 // 8
+
+        W_exp_left = W_exp_right = None
+        V = None
+        if not p.direct_upload_first:
+            g, stop = pack_g_stop(p)
+            W_exp_left = expansion_keyswitch_matrices(
+                self.enc, self.keys, k2, g, p.m_exp, d)
+            W_exp_right = expansion_keyswitch_matrices(
+                self.enc, self.keys, k3, stop + 1, p.m_exp_right, d)
+            size += sum(_pub_size((w.rows, w.cols), d)
+                        for w in W_exp_left + W_exp_right)
+
+            # V: col 2k = Enc(sr^2 z^k), col 2k+1 = Enc(sr z^k)
+            # (ref: testing.cpp:931-943)
+            bits = get_bits_per(m_conv)
+            s0_ntt = self.keys.sr.to_ntt()
+            s0sq = (s0_ntt @ s0_ntt)
+            Vm = PolyMat.zeros(2, 2 * m_conv, d, ntt=True)
+            kcols = jax.random.split(k4, 2 * m_conv)
+            for i in range(2 * m_conv):
+                zj = 1 << (bits * (i // 2))
+                base = s0sq if i % 2 == 0 else s0_ntt
+                sigma = base.mul_const(zj).from_ntt()
+                ct = self.enc.encrypt_simple_regev(kcols[i], sigma)
+                Vm = Vm.place(ct, 0, i)
+            V = Vm
+            size += 2 * 2 * m_conv * d * 56 // 8
+        return PackPublicParams(v_W=v_W, W_exp_left=W_exp_left,
+                                W_exp_right=W_exp_right, V=V,
+                                size_bytes=size)
+
+    # -- query ---------------------------------------------------------------
+    def query(self, idx: int) -> Query:
+        p = self.params
+        d = p.poly_len
+        idx_dim0 = idx // p.num_per
+        idx_further = idx % p.num_per
+        ell = p.t_gsw
+        bits_per = get_bits_per(ell)
+        self._k_query, key = jax.random.split(self._k_query)
+
+        if not p.direct_upload_first:
+            g, stop = pack_g_stop(p)
+            sig = np.zeros(d, dtype=object)
+            sig[2 * idx_dim0] = p.scale_k
+            for i in range(p.further_dims):
+                bit = (idx_further >> i) & 1
+                for j in range(ell):
+                    sig[2 * (i * ell + j) + 1] = bit << (bits_per * j)
+            inv_first = pow(1 << g, -1, Q)
+            inv_rest = pow(1 << (stop + 1), -1, Q)
+            sig[0::2] = (sig[0::2] * inv_first) % Q
+            sig[1::2] = (sig[1::2] * inv_rest) % Q
+            ct = self.enc.encrypt_simple_regev(
+                key, PolyMat.from_host(sig[None, None, :]))
+            return Query(packed_ct=ct.data,
+                         size_bytes=p.n0 * p.bytes_per_poly)
+
+        # SpiralStreamPack: upload first-dim scalars + full folding cts
+        ks = jax.random.split(key, p.dim0 + 2 * ell * p.further_dims)
+        first = [self.enc.encrypt_simple_regev(
+            ks[j], PolyMat.single(p.scale_k if j == idx_dim0 else 0, d)).data
+            for j in range(p.dim0)]
+        gsw = []
+        s0 = self.keys.sr.to_ntt()
+        ki = p.dim0
+        for i in range(p.further_dims):
+            bit = (idx_further >> i) & 1
+            for j in range(ell):
+                val = bit << (bits_per * j)
+                # col 2j: Enc(sr*val), col 2j+1: Enc(val) (ref: 969-979)
+                sv = s0.mul_const(val).from_ntt()
+                gsw.append(self.enc.encrypt_simple_regev(ks[ki], sv).data)
+                gsw.append(self.enc.encrypt_simple_regev(
+                    ks[ki + 1], PolyMat.single(val, d)).data)
+                ki += 2
+        nbytes = (len(first) + len(gsw)) * p.n0 * p.bytes_per_poly
+        return Query(first_cts=jnp.stack(first), gsw_cts=jnp.stack(gsw),
+                     size_bytes=nbytes)
+
+    def decode(self, resp: Response) -> np.ndarray:
+        """(out_n, out_n, d) plaintext mod p_db."""
+        return decode_response(resp, self.keys.Sp_centered, self.params)
+
+
+# ---------------------------------------------------------------------------
+# server
+
+def encode_pack_db(pts: np.ndarray, params: Params) -> EncodedDb:
+    """pts: (total_n, out_n, out_n, d) ints mod p_db ->
+    (trials=out_n^2, num_per, 1, K=dim0, 2, d) NTT layout."""
+    from .params import B_I, P_I
+    p_db = params.p_db
+    t = pts.transpose(1, 2, 0, 3).reshape(
+        params.out_n ** 2, params.total_n, params.poly_len)
+    centered = np.where(t >= p_db // 2, t - p_db, t)
+    limb_p = np.where(centered < 0, centered + P_I, centered).astype(np.uint32)
+    limb_b = np.where(centered < 0, centered + B_I, centered).astype(np.uint32)
+    res = jnp.asarray(np.stack([limb_p, limb_b], axis=-2))
+    ntt = crt_ntt(params.poly_len).forward(res)     # (T, total_n, 2, d)
+    v = ntt.reshape(params.out_n ** 2, params.dim0, params.num_per, 2,
+                    params.poly_len)
+    v = v.transpose(0, 2, 1, 3, 4)                  # (T, num_per, dim0, 2, d)
+    return EncodedDb(data=v[:, :, None, :, :, :], params=params)
+
+
+def regev_to_simple_gsw(cv, V, params: Params):
+    """cv: (nu2*ell, 2, 1, 2, d) NTT -> (nu2, 2, 2*ell, 2, d) GSW cts
+    (ref: testing.cpp:108-140)."""
+    eng = crt_ntt(params.poly_len)
+    ell = params.t_gsw
+    m_conv = params.m_conv
+    c_coeff = eng.inverse(cv)
+    ginv = eng.forward(gadget_invert_raw(c_coeff, 2 * m_conv, 2))
+    tmp = matmul_raw(V, ginv)                       # (nu2*ell, 2, 1, 2, d)
+    # interleave cols: even = tmp, odd = cv
+    pair = jnp.stack([tmp[..., 0, :, :], cv[..., 0, :, :]], axis=2)
+    # pair: (nu2*ell, 2[row], 2[col-pair], 2, d)
+    out = pair.reshape(params.further_dims, ell, 2, 2, 2, params.poly_len)
+    out = out.transpose(0, 2, 1, 3, 4, 5).reshape(
+        params.further_dims, 2, 2 * ell, 2, params.poly_len)
+    return out
+
+
+def fold_pack(cts_coeff, q_pos, q_neg, params: Params):
+    """cts_coeff: (T, num_per, 2, 1, 2, d) coeff.
+    q_pos/q_neg: (nu2, 2, 2*ell, 2, d) NTT.  Unsigned gadget decomposition
+    (ref: testing.cpp:596-624)."""
+    eng = crt_ntt(params.poly_len)
+    ell = params.t_gsw
+    num_per = cts_coeff.shape[1]
+    cur = 0
+    while num_per >= 2:
+        num_per //= 2
+        lo = cts_coeff[:, :num_per]
+        hi = cts_coeff[:, num_per:2 * num_per]
+        gl = eng.forward(gadget_invert_raw(lo, 2 * ell, 2))
+        gh = eng.forward(gadget_invert_raw(hi, 2 * ell, 2))
+        prod = add_raw(matmul_raw(q_neg[cur], gl), matmul_raw(q_pos[cur], gh))
+        cts_coeff = eng.inverse(prod)
+        cur += 1
+    return cts_coeff[:, 0]          # (T, 2, 1, 2, d)
+
+
+def pack_ciphertexts(result_cts, v_W, params: Params):
+    """result_cts: (T=out_n^2, 2, 1, 2, d) coeff, trial (r, c) at r*out_n+c.
+    v_W: (out_n, out_n+1, m_conv, 2, d).  Returns (out_n+1, out_n, 2, d) NTT
+    (ref: testing.cpp:198-241)."""
+    eng = crt_ntt(params.poly_len)
+    out_n, m_conv, d = params.out_n, params.m_conv, params.poly_len
+    ct1 = result_cts[:, 0:1]
+    ct2_ntt = eng.forward(result_cts[:, 1:2])        # (T, 1, 1, 2, d)
+    ginv = eng.forward(gadget_invert_raw(ct1, m_conv, 1))
+    ginv = ginv.reshape(out_n, out_n, m_conv, 1, 2, d)
+    prod = matmul_raw(v_W[:, None], ginv)            # (out_n, out_n, out_n+1, 1, 2, d)
+    acc = prod[0]
+    for r in range(1, out_n):
+        acc = add_raw(acc, prod[r])                  # (out_n, out_n+1, 1, 2, d)
+    ct2 = ct2_ntt.reshape(out_n, out_n, 1, 2, d)
+    embed = jnp.zeros_like(acc)
+    for r in range(out_n):
+        embed = embed.at[:, 1 + r, 0].set(ct2[r, :, 0])
+    v_int = add_raw(acc, embed)                      # (out_n_c, out_n+1, 1, 2, d)
+    return v_int[:, :, 0].transpose(1, 0, 2, 3)      # (out_n+1, out_n, 2, d)
+
+
+class PackServer:
+    def __init__(self, params: Params, db: EncodedDb, pub: PackPublicParams):
+        self.params = params
+        self.db = db
+        self.pub = pub
+        d = params.poly_len
+        self._gadget_ntt = build_gadget(
+            2, 2 * params.t_gsw, d).to_ntt().data
+        self._eng = crt_ntt(d)
+
+    def _expand_query(self, query: Query):
+        p = self.params
+        if query.packed_ct is None:
+            return query.first_cts, query.gsw_cts, True
+        g, stop = pack_g_stop(p)
+        ell = p.t_gsw
+        cv = coefficient_expansion(
+            query.packed_ct, g, [w.data for w in self.pub.W_exp_left],
+            [w.data for w in self.pub.W_exp_right], p,
+            max_bits_to_gen_right=ell * p.further_dims, stopround=stop)
+        first = cv[0::2][:p.dim0]
+        gsw_src = cv[1::2][:ell * p.further_dims]
+        return first, gsw_src, False
+
+    def process_query(self, query: Query):
+        p = self.params
+        timings = ServerTimings()
+        t0 = time.perf_counter()
+        first, gsw_src, direct = self._expand_query(query)
+        first.block_until_ready()
+        t1 = time.perf_counter()
+        timings.expansion_us = 0.0 if direct else (t1 - t0) * 1e6
+
+        # conversion to GSW folding cts
+        if direct:
+            # uploaded pairs (sr*val, val): interleave into (nu2, 2, 2*ell)
+            ell = p.t_gsw
+            pair = gsw_src.reshape(p.further_dims, ell, 2, 2, 1, 2,
+                                   p.poly_len)
+            # (nu2, ell, pair, row, 2, d) -> rows out, cols 2j+pair
+            q_pos = pair[:, :, :, :, 0].transpose(0, 3, 1, 2, 4, 5).reshape(
+                p.further_dims, 2, 2 * ell, 2, p.poly_len)
+        else:
+            q_pos = regev_to_simple_gsw(gsw_src, self.pub.V.data, p)
+        # slot s selects bit nu2-1-s: reverse (ref: testing.cpp:615-619)
+        q_pos = q_pos[::-1]
+        q_neg = sub_raw(jnp.broadcast_to(self._gadget_ntt, q_pos.shape),
+                        q_pos)
+        q_neg.block_until_ready()
+        t2 = time.perf_counter()
+        timings.conversion_us = (t2 - t1) * 1e6
+
+        # first-dim: query (K=dim0, C=ct rows, 2, d)
+        qk = first[:, :, 0]
+        out = matmul_raw(self.db.data, qk)           # (T, num_per, 1, 2, 2, d)
+        cts_coeff = self._eng.inverse(
+            out.transpose(0, 1, 3, 2, 4, 5))         # (T, num_per, 2, 1, 2, d)
+        cts_coeff.block_until_ready()
+        t3 = time.perf_counter()
+        timings.first_multiply_us = (t3 - t2) * 1e6
+
+        result = fold_pack(cts_coeff, q_pos, q_neg, p)
+        result.block_until_ready()
+        t4 = time.perf_counter()
+        timings.folding_us = (t4 - t3) * 1e6
+
+        packed = pack_ciphertexts(result, self.pub.v_W, p)
+        packed_coeff = self._eng.inverse(packed)     # (out_n+1, out_n, 2, d)
+        ct_host = PolyMat(packed_coeff, ntt=False)
+        host = ct_host.to_host_int()
+        qp = p.arb_qprime
+        q1 = 4 * p.p_db
+        resp = Response(first_row=rescale_array(host[:1], Q, qp),
+                        rest_rows=rescale_array(host[1:], Q, q1))
+        t5 = time.perf_counter()
+        timings.packing_us = (t5 - t4) * 1e6
+        return resp, timings

@@ -194,6 +194,13 @@ PRESETS = {
     "tiny_stream": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                           t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
                           query_elems_first=4, query_elems_rest=16),
+    "tiny_pack": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
+                        t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
+                        out_n=2),
+    "tiny_stream_pack": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20,
+                               t_gsw=8, t_conv=4, t_exp=8, t_exp_right=8,
+                               poly_len=256, out_n=2,
+                               query_elems_first=4, query_elems_rest=16),
 }
 
 

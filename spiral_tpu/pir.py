@@ -60,6 +60,7 @@ class ServerTimings:
     conversion_us: float = 0.0
     first_multiply_us: float = 0.0
     folding_us: float = 0.0
+    packing_us: float = 0.0
     modswitch_us: float = 0.0
 
     @property
@@ -68,7 +69,7 @@ class ServerTimings:
 
     @property
     def db_dependent_us(self) -> float:
-        return self.first_multiply_us + self.folding_us
+        return self.first_multiply_us + self.folding_us + self.packing_us
 
     @property
     def total_us(self) -> float:

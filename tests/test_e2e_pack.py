@@ -1,0 +1,34 @@
+"""End-to-end tests for SpiralPack / SpiralStreamPack (high-rate variant)."""
+import numpy as np
+import pytest
+
+from spiral_tpu.params import preset
+from spiral_tpu.pack import PackClient, PackServer, encode_pack_db
+
+
+def _run(params, nonoise, seed=3):
+    rng = np.random.default_rng(seed)
+    client = PackClient(params, seed=seed, nonoise=nonoise)
+    pub = client.setup()
+    pts = rng.integers(0, params.p_db,
+                       size=(params.total_n, params.out_n, params.out_n,
+                             params.poly_len), dtype=np.int64)
+    db = encode_pack_db(pts, params)
+    server = PackServer(params, db, pub)
+    idx = int(rng.integers(0, params.total_n))
+    q = client.query(idx)
+    resp, timings = server.process_query(q)
+    out = client.decode(resp)
+    return bool(np.array_equal(out, pts[idx].astype(object))), timings
+
+
+@pytest.mark.parametrize("nonoise", [True, False])
+def test_streampack_e2e(nonoise):
+    ok, _ = _run(preset("tiny_stream_pack"), nonoise)
+    assert ok
+
+
+@pytest.mark.parametrize("nonoise", [True, False])
+def test_pack_e2e(nonoise):
+    ok, _ = _run(preset("tiny_pack"), nonoise)
+    assert ok
