@@ -1,0 +1,113 @@
+"""Benchmark harness: runs the flagship Spiral server pipeline and prints
+one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's model-predicted server compute for the paper's
+2^20 x 256 B headline scenario on c5n.2xlarge — 1.62 s total over a
+268 MB plaintext database, i.e. ~165.7 MB/s effective server throughput
+(BASELINE.md; derived from select_params.py's fitted cost model and the
+measured expansion LUT at nu_1=8, t_exp=8).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_THROUGHPUT_MBPS = 165.7
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="spiral_20_256")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--nonoise", action="store_true",
+                    help="skip noise sampling in client ops (debug only)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from spiral_tpu.params import preset
+    from spiral_tpu.pir import SpiralClient, SpiralServer
+    from spiral_tpu.server.db import encode_db_chunked
+
+    params = preset(args.preset)
+    d = params.poly_len
+
+    def log(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr, flush=True)
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    client = SpiralClient(params, seed=1, nonoise=args.nonoise)
+    pub = client.setup()
+    jax.block_until_ready(pub.W_conv.data)
+    log(f"setup: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    pts = rng.integers(0, params.p_db,
+                       size=(params.total_n, params.n0, params.n2, d),
+                       dtype=np.int16)
+    db = encode_db_chunked(pts, params)
+    db.data.block_until_ready()
+    log(f"db encode: {time.time() - t0:.1f}s")
+
+    server = SpiralServer(params, db, pub)
+    idx = int(rng.integers(0, params.total_n))
+    query = client.query(idx)
+
+    # fused single-dispatch pipeline: warmup compiles, then timed trials
+    t0 = time.time()
+    resp, fused_s = server.process_query_fused(query)
+    log(f"warmup+first fused: {time.time() - t0:.1f}s "
+        f"(fused device time {fused_s:.3f}s)")
+    out = client.decode(resp)
+    correct = bool(np.array_equal(out, pts[idx].astype(object)))
+    log(f"correct: {correct}")
+
+    best_s = fused_s
+    for t in range(args.trials):
+        _, s = server.process_query_fused(query)
+        log(f"trial {t}: fused server time {s:.4f}s")
+        best_s = min(best_s, s)
+
+    # one staged run for the breakdown (each stage includes one host RTT)
+    _, stages = server.process_query(query)
+    log(f"staged breakdown (incl. RTT/stage): exp={stages.expansion_us:.0f} "
+        f"comp={stages.composition_us:.0f} conv={stages.conversion_us:.0f} "
+        f"fdim={stages.first_multiply_us:.0f} "
+        f"fold={stages.folding_us:.0f}us")
+
+    pt_bits = int(np.log2(params.p_db))
+    db_bytes = params.total_n * params.n0 * params.n2 * d * pt_bits // 8
+    throughput = db_bytes / best_s / 1e6
+    result = {
+        "metric": "spiral_server_throughput",
+        "value": round(throughput, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(throughput / BASELINE_THROUGHPUT_MBPS, 3),
+        "detail": {
+            "preset": args.preset,
+            "correct": correct,
+            "db_bytes": db_bytes,
+            "server_total_s": round(best_s, 4),
+            "expansion_us": round(stages.expansion_us),
+            "composition_us": round(stages.composition_us),
+            "conversion_us": round(stages.conversion_us),
+            "first_multiply_us": round(stages.first_multiply_us),
+            "folding_us": round(stages.folding_us),
+            "query_bytes": query.size_bytes,
+            "response_bytes": params.response_size_bytes(),
+        },
+    }
+    print(json.dumps(result))
+    return 0 if correct else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

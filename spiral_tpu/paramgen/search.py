@@ -1,0 +1,140 @@
+"""Parameter search and selection.
+
+Replaces the reference's offline pkl sweep + runtime ranking
+(ref: generate_all_schemes.py:308-477 search spaces,
+select_params.py:153-335 cost model & predicate).  The all_params*.pkl
+artifacts in the reference are git-lfs pointers, so candidates are
+regenerated here from the same noise model; ranking uses an analytic
+TPU-oriented cost proxy instead of the c5n.2xlarge regression (the real
+TPU cost model is measured by bench.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+
+from ..params import LOG_Q, Params, get_bits_per
+from .noise import (P_ERR_BITS, min_qprime_bits, noise_variance,
+                    noise_variance_highrate, p_err_bits)
+
+
+@dataclasses.dataclass
+class Selected:
+    params: Params
+    factor: int            # scheme runs per oversized item (ref:
+                           # select_params.py:291-303)
+    p_err_bits: float
+    cost: float
+
+
+def _record_bytes(params: Params, pack: bool) -> int:
+    logp = int(math.log2(params.p_db))
+    if pack:
+        return params.out_n ** 2 * params.poly_len * logp // 8
+    return params.n0 * params.n2 * params.poly_len * logp // 8
+
+
+def tpu_cost_proxy(params: Params, pack: bool) -> float:
+    """Monotone analytic proxy for per-query server time on TPU.
+
+    Dominated by HBM streaming of the NTT-domain database (8 bytes per pt
+    coefficient regardless of p) plus expansion/conversion NTT work and
+    per-round folding work; constants are rough v5e estimates and only
+    relative ordering matters.
+    """
+    d = params.poly_len
+    total_n = params.total_n
+    if pack:
+        db_stream = params.out_n ** 2 * total_n * d * 8.0
+    else:
+        db_stream = total_n * params.n0 * params.n2 * d * 8.0
+    hbm_bps = 8e11
+    fdim = db_stream / hbm_bps
+
+    ntt_cost = 35e-12 * d * math.log2(d)  # per-poly batched NTT seconds
+    exp_polys = 0.0
+    if not params.direct_upload_first:
+        exp_polys = 2.0 * (2 ** params.g) * (
+            2 + params.m_exp + params.m_exp_right)
+    conv_polys = params.dim0 * params.m_conv * 2 + \
+        params.further_dims * params.t_gsw * params.m_conv * 4
+    fold_polys = 2 * total_n // params.dim0 * params.n1 * params.n2 * \
+        (1 + params.t_gsw)
+    pack_polys = params.out_n ** 2 * params.m_conv if pack else 0
+    return fdim + ntt_cost * (exp_polys + conv_polys + fold_polys +
+                              pack_polys)
+
+
+def candidate_ok(params: Params, pack: bool) -> tuple[float, int] | None:
+    """Noise-model check; returns (p_err_bits, q_prime_bits) or None."""
+    from ..params import QPRIME_MODS
+    try:
+        s_e = noise_variance_highrate(params) if pack else \
+            noise_variance(params)
+        n = params.out_n if pack else params.n0
+        bits = min_qprime_bits(params, s_e, n=n)
+        if bits is None:
+            return None
+        pe = p_err_bits(params.p_db, QPRIME_MODS[bits], s_e, n=n,
+                        d=params.poly_len)
+        return pe, bits
+    except (AssertionError, ValueError, OverflowError):
+        return None
+
+
+def select_params(log_n: int, item_size_bytes: int, *,
+                  direct_upload: bool = False, pack: bool = False,
+                  max_query_bytes: int | None = None,
+                  out_n_choices=(2, 4), d: int = 2048) -> Selected:
+    """Pick scheme parameters for a database of 2^log_n items of
+    item_size_bytes each (the select_params.py CLI contract)."""
+    best: Selected | None = None
+    t_choices = (2, 4, 8, 16, 32, 56)
+    for p_log in range(2, 17):
+        p_db = 1 << p_log
+        for nu_1 in range(2, 11):
+            for nu_2 in range(2, 14):
+                for t_gsw in (2, 4, 5, 8, 10, 16, 24):
+                    for t_conv in t_choices:
+                        for t_exp in t_choices:
+                            for out_n in (out_n_choices if pack else (2,)):
+                                cand = _try_candidate(
+                                    log_n, item_size_bytes, p_db, nu_1, nu_2,
+                                    t_gsw, t_conv, t_exp, out_n, d,
+                                    direct_upload, pack, max_query_bytes)
+                                if cand and (best is None or
+                                             cand.cost < best.cost):
+                                    best = cand
+    if best is None:
+        raise ValueError("no parameter set satisfies the constraints")
+    return best
+
+
+def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
+                   t_exp, out_n, d, direct_upload, pack, max_query_bytes):
+    qe_first = (1 << nu_1) if direct_upload else 1
+    qe_rest = nu_2 * t_gsw if direct_upload else 0
+    base = Params(nu_1=nu_1, nu_2=nu_2, p_db=p_db, q_prime_bits=20,
+                  t_gsw=t_gsw, t_conv=t_conv, t_exp=t_exp,
+                  t_exp_right=56 if d == 2048 else t_exp, poly_len=d,
+                  out_n=out_n, query_elems_first=qe_first,
+                  query_elems_rest=qe_rest)
+    rec = _record_bytes(base, pack)
+    # oversized items run the scheme `factor` times (ref:
+    # select_params.py:291-303); capacity: the factor instances must jointly
+    # hold ceil(N * item / rec) records
+    factor = max(1, math.ceil(item_size_bytes / rec))
+    records_needed = math.ceil((1 << log_n) * item_size_bytes / rec)
+    if (1 << (nu_1 + nu_2)) * factor < records_needed:
+        return None
+    res = candidate_ok(base, pack)
+    if res is None:
+        return None
+    pe, qbits = res
+    params = dataclasses.replace(base, q_prime_bits=qbits)
+    if max_query_bytes is not None and \
+            params.query_size_bytes() > max_query_bytes:
+        return None
+    return Selected(params=params, factor=factor, p_err_bits=pe,
+                    cost=tpu_cost_proxy(params, pack) * factor)

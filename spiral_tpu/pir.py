@@ -17,7 +17,7 @@ import numpy as np
 
 from .params import Params
 from .arith.ntt import crt_ntt
-from .core.poly import PolyMat, sub_raw
+from .core.poly import PolyMat, matmul_raw, sub_raw
 from .core.gadget import build_gadget
 from .crypto.keys import keygen, SecretKeys
 from .crypto.encrypt import Encryptor
@@ -78,6 +78,10 @@ class ServerTimings:
 
 
 class SpiralServer:
+    """Each pipeline stage is one jitted function (built lazily per server
+    instance), so a query is a handful of device dispatches instead of
+    hundreds of eager ops — essential for TPU latency."""
+
     def __init__(self, params: Params, db: EncodedDb, pub: PublicParams):
         self.params = params
         self.db = db
@@ -85,81 +89,133 @@ class SpiralServer:
         d = params.poly_len
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
+        self._build_stages()
+
+    def _build_stages(self):
+        p = self.params
+        eng = self._eng
+        g2 = self._g2_ntt
+        pub = self.pub
+
+        def expand(packed_ct):
+            ell = p.t_gsw
+            cv = coefficient_expansion(
+                packed_ct, p.g, [w.data for w in pub.W_exp_left],
+                [w.data for w in pub.W_exp_right], p,
+                max_bits_to_gen_right=ell * p.further_dims,
+                stopround=p.stopround)
+            if p.stopround != 0:
+                cv = reorder_from_stopround(cv, p.dim0, ell * p.further_dims)
+            return (cv[:p.dim0], cv[p.dim0:p.dim0 + ell * p.further_dims])
+
+        def comp(first_scalars):
+            return scal_to_mat_batch(first_scalars, pub.W_conv.data, p)
+
+        def conv(gsw_scalars):
+            gsw_in = gsw_scalars.reshape(
+                (p.further_dims, p.t_gsw) + gsw_scalars.shape[1:])
+            gsw = regev_to_gsw_batch(gsw_in, pub.W_conv.data, pub.V.data, p)
+            q_pos = gsw[::-1]
+            q_neg = sub_raw(jnp.broadcast_to(g2, q_pos.shape), q_pos)
+            return q_pos, q_neg
+
+        def fdim(db_data, C_reg):
+            qk = reorient_query(C_reg)
+            out = matmul_raw(db_data, qk)        # (num_per, n2, n1, 2, d)
+            return eng.inverse(out.transpose(0, 2, 1, 3, 4))
+
+        def fold(cts_coeff, q_pos, q_neg):
+            return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
+
+        def full_packed(db_data, packed_ct):
+            first_scalars, gsw_scalars = expand(packed_ct)
+            C_reg = comp(first_scalars)
+            q_pos, q_neg = conv(gsw_scalars)
+            return fold(fdim(db_data, C_reg), q_pos, q_neg)
+
+        def full_direct(db_data, first_cts, gsw_cts):
+            C_reg = comp(first_cts)
+            q_pos, q_neg = conv(gsw_cts)
+            return fold(fdim(db_data, C_reg), q_pos, q_neg)
+
+        self._stage_expand = jax.jit(expand)
+        self._stage_comp = jax.jit(comp)
+        self._stage_conv = jax.jit(conv)
+        self._stage_fdim = jax.jit(fdim)
+        self._stage_fold = jax.jit(fold)
+        # single-dispatch whole pipeline: the timed path on TPU, where
+        # per-stage host sync would otherwise add an RPC round trip per stage
+        self._full_packed = jax.jit(full_packed)
+        self._full_direct = jax.jit(full_direct)
 
     @staticmethod
     def encode_database(pts: np.ndarray, params: Params) -> EncodedDb:
         return encode_db(pts, params)
 
-    def _expand_query(self, query: Query):
-        """Returns (first_scalars (dim0,n0,1,2,d), gsw_scalars
-        (nu2*t,n0,1,2,d))."""
-        p = self.params
-        if query.packed_ct is not None:
-            g, stop = p.g, p.stopround
-            ell = p.t_gsw
-            cv = coefficient_expansion(
-                query.packed_ct, g, [w.data for w in self.pub.W_exp_left],
-                [w.data for w in self.pub.W_exp_right], p,
-                max_bits_to_gen_right=ell * p.further_dims, stopround=stop)
-            if stop != 0:
-                cv = reorder_from_stopround(cv, p.dim0,
-                                            ell * p.further_dims)
-            first = cv[:p.dim0]
-            gsw = cv[p.dim0:p.dim0 + ell * p.further_dims]
-            return first, gsw
-        return query.first_cts, query.gsw_cts
-
     def process_query(self, query: Query):
         p = self.params
-
-        def tick():
-            return time.perf_counter()
-
+        tick = time.perf_counter
         timings = ServerTimings()
-        t0 = tick()
-        first_scalars, gsw_scalars = self._expand_query(query)
-        first_scalars.block_until_ready()
-        t1 = tick()
-        timings.expansion_us = (t1 - t0) * 1e6 if query.packed_ct is not None \
-            else 0.0
 
-        # composition: scalar -> matrix Regev, all dim0 at once
-        C_reg = scal_to_mat_batch(first_scalars, self.pub.W_conv.data, p)
+        t0 = tick()
+        if query.packed_ct is not None:
+            first_scalars, gsw_scalars = self._stage_expand(query.packed_ct)
+            first_scalars.block_until_ready()
+            t1 = tick()
+            timings.expansion_us = (t1 - t0) * 1e6
+        else:
+            first_scalars, gsw_scalars = query.first_cts, query.gsw_cts
+            t1 = tick()
+
+        C_reg = self._stage_comp(first_scalars)
         C_reg.block_until_ready()
         t2 = tick()
         timings.composition_us = (t2 - t1) * 1e6
 
-        # conversion: build nu_2 GSW cts; slot s selects bit nu_2-1-s
-        gsw_in = gsw_scalars.reshape(
-            (p.further_dims, p.t_gsw) + gsw_scalars.shape[1:])
-        gsw = regev_to_gsw_batch(gsw_in, self.pub.W_conv.data,
-                                 self.pub.V.data, p)
-        q_pos = gsw[::-1]
-        q_neg = sub_raw(jnp.broadcast_to(self._g2_ntt, q_pos.shape), q_pos)
+        q_pos, q_neg = self._stage_conv(gsw_scalars)
         q_neg.block_until_ready()
         t3 = tick()
         timings.conversion_us = (t3 - t2) * 1e6
 
-        # first-dimension multiply
-        qk = reorient_query(C_reg)
-        cts_ntt = multiply_query_by_db(self.db, qk)
-        cts_coeff = self._eng.inverse(cts_ntt)
+        cts_coeff = self._stage_fdim(self.db.data, C_reg)
         cts_coeff.block_until_ready()
         t4 = tick()
         timings.first_multiply_us = (t4 - t3) * 1e6
 
-        # folding
-        final = fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
+        final = self._stage_fold(cts_coeff, q_pos, q_neg)
         final.block_until_ready()
         t5 = tick()
         timings.folding_us = (t5 - t4) * 1e6
 
-        # modulus switch (two-modulus response)
+        # modulus switch (two-modulus response, host)
         final_host = PolyMat(final, ntt=False).to_host_int()
         resp = modswitch_response(final_host, p)
         t6 = tick()
         timings.modswitch_us = (t6 - t5) * 1e6
         return resp, timings
+
+    def process_query_fused(self, query: Query):
+        """Whole device pipeline in one dispatch; returns (Response,
+        server_seconds).  Use for benchmarking on remote-attached TPUs."""
+        tick = time.perf_counter
+        if query.packed_ct is not None:
+            self._full_packed(self.db.data, query.packed_ct) \
+                .block_until_ready()  # ensure compiled
+            t0 = tick()
+            final = self._full_packed(self.db.data, query.packed_ct)
+            final.block_until_ready()
+            t1 = tick()
+        else:
+            self._full_direct(self.db.data, query.first_cts,
+                              query.gsw_cts).block_until_ready()
+            t0 = tick()
+            final = self._full_direct(self.db.data, query.first_cts,
+                                      query.gsw_cts)
+            final.block_until_ready()
+            t1 = tick()
+        final_host = PolyMat(final, ntt=False).to_host_int()
+        resp = modswitch_response(final_host, self.params)
+        return resp, (t1 - t0)
 
 
 def run_pir(params: Params, idx: int | None = None, seed: int = 0,

@@ -36,6 +36,34 @@ def random_db(params: Params, rng: np.random.Generator) -> np.ndarray:
         dtype=np.int64)
 
 
+def encode_db_chunked(pts: np.ndarray, params: Params,
+                      chunk_items: int = 8192) -> EncodedDb:
+    """Streaming encode for large databases: per block of first-dim groups,
+    lift + NTT on device and write into the preallocated serving tensor.
+    Bounds host/device staging to chunk_items records."""
+    p_db = params.p_db
+    num_per, dim0, n0, n2, d = (params.num_per, params.dim0, params.n0,
+                                params.n2, params.poly_len)
+    eng = crt_ntt(d)
+    out = jnp.zeros((num_per, n2, dim0 * n0, 2, d), dtype=jnp.uint32)
+    jb = max(1, chunk_items // num_per)
+    for j0 in range(0, dim0, jb):
+        j1 = min(j0 + jb, dim0)
+        block = pts[j0 * num_per:j1 * num_per].astype(np.int64)
+        centered = np.where(block >= p_db // 2, block - p_db, block)
+        limb_p = np.where(centered < 0, centered + P_I,
+                          centered).astype(np.uint32)
+        limb_b = np.where(centered < 0, centered + B_I,
+                          centered).astype(np.uint32)
+        res = jnp.asarray(np.stack([limb_p, limb_b], axis=-2))
+        ntt = eng.forward(res)                     # (nb*num_per, n0, n2, 2, d)
+        t = ntt.reshape(j1 - j0, num_per, n0, n2, 2, d)
+        t = t.transpose(1, 3, 0, 2, 4, 5).reshape(
+            num_per, n2, (j1 - j0) * n0, 2, d)
+        out = out.at[:, :, j0 * n0:j1 * n0].set(t)
+    return EncodedDb(data=out, params=params)
+
+
 def encode_db(pts: np.ndarray, params: Params) -> EncodedDb:
     """Center mod p, lift to residues, NTT, reorder to the serving layout."""
     p_db = params.p_db
