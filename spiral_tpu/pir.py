@@ -127,26 +127,24 @@ class SpiralServer:
         def fold(cts_coeff, q_pos, q_neg):
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
 
-        def full_packed(db_data, packed_ct):
-            first_scalars, gsw_scalars = expand(packed_ct)
-            C_reg = comp(first_scalars)
-            q_pos, q_neg = conv(gsw_scalars)
-            return fold(fdim(db_data, C_reg), q_pos, q_neg)
-
-        def full_direct(db_data, first_cts, gsw_cts):
-            C_reg = comp(first_cts)
-            q_pos, q_neg = conv(gsw_cts)
-            return fold(fdim(db_data, C_reg), q_pos, q_neg)
-
         self._stage_expand = jax.jit(expand)
         self._stage_comp = jax.jit(comp)
         self._stage_conv = jax.jit(conv)
         self._stage_fdim = jax.jit(fdim)
         self._stage_fold = jax.jit(fold)
-        # single-dispatch whole pipeline: the timed path on TPU, where
-        # per-stage host sync would otherwise add an RPC round trip per stage
-        self._full_packed = jax.jit(full_packed)
-        self._full_direct = jax.jit(full_direct)
+
+    def _run_async(self, query: Query):
+        """Chain the jitted stages without host sync: JAX async dispatch
+        queues all stages on-device, so the measured wall time is one host
+        round trip plus device compute (crucial over a remote TPU tunnel)."""
+        if query.packed_ct is not None:
+            first_scalars, gsw_scalars = self._stage_expand(query.packed_ct)
+        else:
+            first_scalars, gsw_scalars = query.first_cts, query.gsw_cts
+        C_reg = self._stage_comp(first_scalars)
+        q_pos, q_neg = self._stage_conv(gsw_scalars)
+        cts_coeff = self._stage_fdim(self.db.data, C_reg)
+        return self._stage_fold(cts_coeff, q_pos, q_neg)
 
     @staticmethod
     def encode_database(pts: np.ndarray, params: Params) -> EncodedDb:
@@ -195,24 +193,14 @@ class SpiralServer:
         return resp, timings
 
     def process_query_fused(self, query: Query):
-        """Whole device pipeline in one dispatch; returns (Response,
-        server_seconds).  Use for benchmarking on remote-attached TPUs."""
+        """Async-chained pipeline; returns (Response, server_seconds).
+        The first call pays stage compiles; callers should warm up."""
         tick = time.perf_counter
-        if query.packed_ct is not None:
-            self._full_packed(self.db.data, query.packed_ct) \
-                .block_until_ready()  # ensure compiled
-            t0 = tick()
-            final = self._full_packed(self.db.data, query.packed_ct)
-            final.block_until_ready()
-            t1 = tick()
-        else:
-            self._full_direct(self.db.data, query.first_cts,
-                              query.gsw_cts).block_until_ready()
-            t0 = tick()
-            final = self._full_direct(self.db.data, query.first_cts,
-                                      query.gsw_cts)
-            final.block_until_ready()
-            t1 = tick()
+        self._run_async(query).block_until_ready()   # warm/compile
+        t0 = tick()
+        final = self._run_async(query)
+        final.block_until_ready()
+        t1 = tick()
         final_host = PolyMat(final, ntt=False).to_host_int()
         resp = modswitch_response(final_host, self.params)
         return resp, (t1 - t0)

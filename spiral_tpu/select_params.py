@@ -1,0 +1,108 @@
+"""CLI mirroring the reference's select_params.py contract:
+
+    python -m spiral_tpu.select_params <logN> <itemsize_bytes>
+        [--direct-upload] [--pack] [--max-query-size B] [--dry-run]
+        [--trials N] [--explicit-db]
+
+Picks parameters via the noise model + TPU cost proxy, optionally runs the
+scheme end-to-end on the attached backend, and emits ONE JSON line with
+the same metric names the reference's harness scrapes
+(ref: select_params.py:566-587).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logN", type=int)
+    ap.add_argument("itemsize", type=int)
+    ap.add_argument("--direct-upload", action="store_true")
+    ap.add_argument("--pack", "--high-rate", action="store_true",
+                    dest="pack")
+    ap.add_argument("--max-query-size", type=int, default=None)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="select parameters only; do not run")
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--explicit-db", action="store_true",
+                    help="(compat flag; databases are always explicit here)")
+    ap.add_argument("--poly-len", type=int, default=2048)
+    args = ap.parse_args()
+
+    from .paramgen.search import select_params
+    sel = select_params(args.logN, args.itemsize,
+                        direct_upload=args.direct_upload, pack=args.pack,
+                        max_query_bytes=args.max_query_size,
+                        d=args.poly_len)
+    p = sel.params
+    logp = int(math.log2(p.p_db))
+    if args.pack:
+        item_b = p.out_n ** 2 * p.poly_len * logp // 8
+        resp_b = (p.out_n ** 2 * p.poly_len * (logp + 2)
+                  + p.out_n * p.poly_len * p.q_prime_bits) // 8
+    else:
+        item_b = p.n0 * p.n2 * p.poly_len * logp // 8
+        resp_b = p.response_size_bytes()
+
+    out = {
+        "params": dataclasses.asdict(p),
+        "factor": sel.factor,
+        "p_err_bits": round(sel.p_err_bits, 2),
+        "query_sz": p.query_size_bytes(),
+        "resp_sz": resp_b,
+        "item_sz": item_b,
+        "rate": round(item_b / resp_b, 4),
+    }
+    if not args.dry_run:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        if args.pack:
+            from .pack import PackClient, PackServer, encode_pack_db
+            client = PackClient(p, seed=1)
+            pub = client.setup()
+            pts = rng.integers(0, p.p_db, size=(
+                p.total_n, p.out_n, p.out_n, p.poly_len), dtype=np.int16)
+            server = PackServer(p, encode_pack_db(pts, p), pub)
+        else:
+            from .pir import SpiralClient, SpiralServer
+            from .server.db import encode_db_chunked
+            client = SpiralClient(p, seed=1)
+            pub = client.setup()
+            pts = rng.integers(0, p.p_db, size=(
+                p.total_n, p.n0, p.n2, p.poly_len), dtype=np.int16)
+            server = SpiralServer(p, encode_db_chunked(pts, p), pub)
+        idx = int(rng.integers(0, p.total_n))
+        query = client.query(idx)
+        totals = []
+        correct = True
+        for t in range(args.trials):
+            t0 = time.perf_counter()
+            resp, timings = server.process_query(query)
+            totals.append(timings)
+            res = client.decode(resp)
+            correct = correct and bool(
+                np.array_equal(res, pts[idx].astype(object)))
+        best = min(totals, key=lambda x: x.total_us)
+        out.update({
+            "is_corr": correct,
+            "total_us": round(best.total_us),
+            "exp_us": round(best.expansion_us),
+            "conv_us": round(best.composition_us + best.conversion_us),
+            "fdim_us": round(best.first_multiply_us),
+            "fold_us": round(best.folding_us),
+            "pack_us": round(best.packing_us),
+            "tput_mb_s": round(
+                (1 << args.logN) * args.itemsize / best.total_us, 2),
+        })
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
