@@ -79,10 +79,19 @@ class CrtNtt:
              ntt_inverse(x[..., 1, :], self.tb_b)], axis=-2)
 
 
-_crt_ntt_cache: dict[int, CrtNtt] = {}
+_crt_ntt_cache: dict[int, object] = {}
 
 
-def crt_ntt(d: int) -> CrtNtt:
+def crt_ntt(d: int):
+    """Global NTT engine.  Defaults to the four-step MXU formulation
+    (arith/ntt_mxu.py); set SPIRAL_NTT=stockham for the butterfly engine.
+    The two use different (self-consistent) evaluation orderings, so one
+    engine must be used for all ring data in a process."""
+    import os
     if d not in _crt_ntt_cache:
-        _crt_ntt_cache[d] = CrtNtt(d)
+        if os.environ.get("SPIRAL_NTT", "mxu") == "stockham":
+            _crt_ntt_cache[d] = CrtNtt(d)
+        else:
+            from .ntt_mxu import CrtNttMxu
+            _crt_ntt_cache[d] = CrtNttMxu(d)
     return _crt_ntt_cache[d]

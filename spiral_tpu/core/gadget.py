@@ -21,9 +21,7 @@ from .poly import MODS, PolyMat
 
 
 @lru_cache(maxsize=None)
-def build_gadget(rows: int, cols: int, d: int) -> PolyMat:
-    """G: block pattern G[i][i + j*rows] = z^j, z = 2^bits_per
-    (ref: src/util.cpp:89-106)."""
+def _build_gadget_np(rows: int, cols: int, d: int) -> np.ndarray:
     assert cols % rows == 0
     num_elems = cols // rows
     bits_per = get_bits_per(num_elems)
@@ -35,7 +33,14 @@ def build_gadget(rows: int, cols: int, d: int) -> PolyMat:
             x, y = const_residues(1 << (bits_per * j))
             data[i, i + j * rows, 0, 0] = x
             data[i, i + j * rows, 1, 0] = y
-    return PolyMat(jnp.asarray(data), ntt=False)
+    return data
+
+
+def build_gadget(rows: int, cols: int, d: int) -> PolyMat:
+    """G: block pattern G[i][i + j*rows] = z^j, z = 2^bits_per
+    (ref: src/util.cpp:89-106).  The cache holds host numpy (a cached
+    device array created inside a jit trace would leak tracers)."""
+    return PolyMat(_build_gadget_np(rows, cols, d), ntt=False)
 
 
 def _digits_unsigned(hi, lo, num_elems: int, bits_per: int):

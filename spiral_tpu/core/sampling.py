@@ -22,10 +22,11 @@ MAX_VAL = int(math.ceil(GAUSS_WIDTH * NUM_WIDTHS))  # 64
 
 
 @lru_cache(maxsize=None)
-def _gauss_logits() -> jnp.ndarray:
+def _gauss_logits() -> np.ndarray:
+    # host numpy: safe to cache across jit traces
     i = np.arange(-MAX_VAL, MAX_VAL + 1, dtype=np.float64)
     logp = -math.pi * i ** 2 / GAUSS_WIDTH ** 2
-    return jnp.asarray(logp, dtype=jnp.float32)
+    return logp.astype(np.float32)
 
 
 def _small_to_residues(v):

@@ -49,32 +49,40 @@ def expansion_keyswitch_matrices(enc: Encryptor, keys: SecretKeys, key,
 def generate_public_params(params: Params, keys: SecretKeys, enc: Encryptor,
                            key) -> PublicParams:
     d = params.poly_len
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    size = 0
 
-    W_exp_left = W_exp_right = None
-    if not (params.direct_upload_first and params.direct_upload_rest):
-        g, stop = params.g, params.stopround
-        right_rounds = (stop + 1) if stop > 0 else g
-        W_exp_left = expansion_keyswitch_matrices(
-            enc, keys, k1, g, params.m_exp, d)
-        W_exp_right = expansion_keyswitch_matrices(
-            enc, keys, k2, right_rounds, params.m_exp_right, d)
+    def inner(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        W_exp_left = W_exp_right = []
+        if not (params.direct_upload_first and params.direct_upload_rest):
+            g, stop = params.g, params.stopround
+            right_rounds = (stop + 1) if stop > 0 else g
+            W_exp_left = expansion_keyswitch_matrices(
+                enc, keys, k1, g, params.m_exp, d)
+            W_exp_right = expansion_keyswitch_matrices(
+                enc, keys, k2, right_rounds, params.m_exp_right, d)
+
+        # W_conv = Enc_S(sr * G_{n0 x n0*m_conv})
+        G_scale = build_gadget(params.n0, params.n0 * params.m_conv, d)
+        s0G = G_scale.to_ntt().scalar_mul(keys.sr.to_ntt())
+        W_conv = enc.encrypt_matrix(k3, s0G)
+
+        # V = Enc_S(Sp * [sr*g | g])
+        gv = build_gadget(1, params.m_conv, d).to_ntt()
+        s0gv = gv.scalar_mul(keys.sr.to_ntt())
+        together = PolyMat.hstack(s0gv, gv)       # 1 x 2*m_conv
+        msg = keys.Sp.to_ntt() @ together         # n0 x 2*m_conv
+        V = enc.encrypt_matrix(k4, msg)
+        return W_exp_left, W_exp_right, W_conv, V
+
+    # jitted: client setup is thousands of small ops; one dispatch instead
+    W_exp_left, W_exp_right, W_conv, V = jax.jit(inner)(key)
+
+    size = _pub_size((W_conv.rows, W_conv.cols), d)
+    if W_exp_left:
         size += sum(_pub_size((w.rows, w.cols), d)
-                    for w in W_exp_left + W_exp_right)
-
-    # W_conv = Enc_S(sr * G_{n0 x n0*m_conv})
-    G_scale = build_gadget(params.n0, params.n0 * params.m_conv, d)
-    s0G = G_scale.to_ntt().scalar_mul(keys.sr.to_ntt())
-    W_conv = enc.encrypt_matrix(k3, s0G)
-    size += _pub_size((W_conv.rows, W_conv.cols), d)
-
-    # V = Enc_S(Sp * [sr*g | g])
-    gv = build_gadget(1, params.m_conv, d).to_ntt()
-    s0gv = gv.scalar_mul(keys.sr.to_ntt())
-    together = PolyMat.hstack(s0gv, gv)           # 1 x 2*m_conv
-    msg = keys.Sp.to_ntt() @ together             # n0 x 2*m_conv
-    V = enc.encrypt_matrix(k4, msg)
+                    for w in list(W_exp_left) + list(W_exp_right))
+    else:
+        W_exp_left = W_exp_right = None
     if not params.direct_upload_rest:
         size += _pub_size((V.rows, V.cols), d)
 

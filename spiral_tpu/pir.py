@@ -27,7 +27,8 @@ from .crypto.decode import Response, decode_response, modswitch_response
 from .server.db import EncodedDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
-from .server.firstdim import multiply_query_by_db, reorient_query
+from .server.firstdim import (db_to_mxu_limbs, finish_mxu_output,
+                              multiply_query_by_db_mxu, reorient_query)
 from .server.fold import fold_ciphertexts
 
 
@@ -89,6 +90,8 @@ class SpiralServer:
         d = params.poly_len
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
+        # int8 limb layout for the MXU first-dim kernel
+        self._db_limbs = db_to_mxu_limbs(db.data)
         self._build_stages()
 
     def _build_stages(self):
@@ -119,10 +122,11 @@ class SpiralServer:
             q_neg = sub_raw(jnp.broadcast_to(g2, q_pos.shape), q_pos)
             return q_pos, q_neg
 
-        def fdim(db_data, C_reg):
+        def fdim(db_limbs, C_reg):
             qk = reorient_query(C_reg)
-            out = matmul_raw(db_data, qk)        # (num_per, n2, n1, 2, d)
-            return eng.inverse(out.transpose(0, 2, 1, 3, 4))
+            res = multiply_query_by_db_mxu(db_limbs, qk)
+            cts_ntt = finish_mxu_output(res, p.num_per, p.n2)
+            return eng.inverse(cts_ntt)
 
         def fold(cts_coeff, q_pos, q_neg):
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
@@ -143,7 +147,7 @@ class SpiralServer:
             first_scalars, gsw_scalars = query.first_cts, query.gsw_cts
         C_reg = self._stage_comp(first_scalars)
         q_pos, q_neg = self._stage_conv(gsw_scalars)
-        cts_coeff = self._stage_fdim(self.db.data, C_reg)
+        cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
         return self._stage_fold(cts_coeff, q_pos, q_neg)
 
     @staticmethod
@@ -175,7 +179,7 @@ class SpiralServer:
         t3 = tick()
         timings.conversion_us = (t3 - t2) * 1e6
 
-        cts_coeff = self._stage_fdim(self.db.data, C_reg)
+        cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
         cts_coeff.block_until_ready()
         t4 = tick()
         timings.first_multiply_us = (t4 - t3) * 1e6

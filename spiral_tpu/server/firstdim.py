@@ -3,16 +3,30 @@
 
 out[i, r, c] = sum_{j,m} Q[j*n0+m, r] * DB[i, c, j*n0+m]   (per limb, per z)
 
-The jnp path reuses the chunked half-product contraction from
-core.poly.matmul_raw; a Pallas kernel replaces it on TPU for HBM-bound
-streaming (see server/firstdim_pallas.py in later rounds).
+Two implementations:
+
+* matmul_raw path — portable u32 half-product contraction (VPU).
+* MXU path — each 28-bit residue splits into four 7-bit limbs; the whole
+  per-slot contraction becomes ONE batched int8 matmul with int32
+  accumulation (exact: products <= 127^2, K <= 2^17), with the limb index
+  folded into the matmul M/N dims.  This is the TPU-native redesign of the
+  reference's packed-u64 AVX-512 kernel: the MXU replaces _mm512_mul_epu32
+  and the limb recombination replaces the per-64-term Barrett pass.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
+from ..params import B_I, P_I
+from ..arith.mod import mod_ctx
 from ..core.poly import matmul_raw
 from .db import EncodedDb
+
+LIMB_BITS = 7
+N_LIMBS = 4
 
 
 def reorient_query(cts) -> jnp.ndarray:
@@ -27,3 +41,73 @@ def multiply_query_by_db(db: EncodedDb, query_k: jnp.ndarray) -> jnp.ndarray:
     """query_k: (K, n1, 2, d) NTT.  Returns (num_per, n1, n2, 2, d) NTT."""
     out = matmul_raw(db.data, query_k)       # (num_per, n2, n1, 2, d)
     return out.transpose(0, 2, 1, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# MXU int8-limb path
+
+def _to_limbs_i8(v, axis_last: bool = True):
+    """u32 residues -> stacked 7-bit limbs as int8 on a new trailing axis."""
+    limbs = [((v >> (LIMB_BITS * j)) & jnp.uint32(0x7F)).astype(jnp.int8)
+             for j in range(N_LIMBS)]
+    return jnp.stack(limbs, axis=-1)
+
+
+@jax.jit
+def db_to_mxu_limbs(db_data):
+    """(num_per, n2, K, 2, d) u32 -> (2, d, K, num_per*n2*N_LIMBS) int8."""
+    num_per, n2, K = db_data.shape[0], db_data.shape[1], db_data.shape[2]
+    d = db_data.shape[-1]
+    limbs = _to_limbs_i8(db_data)            # (num_per, n2, K, 2, d, 4)
+    t = limbs.transpose(3, 4, 2, 0, 1, 5)    # (2, d, K, num_per, n2, 4)
+    return t.reshape(2, d, K, num_per * n2 * N_LIMBS)
+
+
+def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
+    """db_limbs: (2, d, K, N=num_per*n2*4) int8 from db_to_mxu_limbs.
+    query_k: (K, n1, 2, d) u32 NTT residues.
+    Returns (num_per, n1, n2, 2, d) u32."""
+    crt, d, K, N = db_limbs.shape
+    n1 = query_k.shape[1]
+    num_per_n2 = N // N_LIMBS
+
+    q_limbs = _to_limbs_i8(query_k)          # (K, n1, 2, d, 4)
+    lhs = q_limbs.transpose(2, 3, 1, 4, 0)   # (2, d, n1, 4, K)
+    lhs = lhs.reshape(crt, d, n1 * N_LIMBS, K)
+
+    # batched int8 matmul, exact in int32: (2, d, 12, K) @ (2, d, K, N)
+    out = jax.lax.dot_general(
+        lhs, db_limbs,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)    # (2, d, n1*4, N)
+
+    out = out.reshape(crt, d, n1, N_LIMBS, num_per_n2, N_LIMBS)
+    results = []
+    for li, p in enumerate((P_I, B_I)):
+        ctx = mod_ctx(p)
+        o = out[li]                           # (d, n1, 4, m, 4)
+        acc = None
+        for s in range(2 * N_LIMBS - 1):
+            # S_s = sum over limb pairs with i+j == s; |pairs| <= 4,
+            # each entry < K*127^2 so the s32 sum stays positive
+            terms = [o[:, :, i, :, s - i]
+                     for i in range(max(0, s - N_LIMBS + 1),
+                                    min(N_LIMBS, s + 1))]
+            S = terms[0]
+            for t in terms[1:]:
+                S = S + t
+            r = ctx.reduce_u32(S.astype(jnp.uint32))
+            w = (1 << (LIMB_BITS * s)) % p
+            ws = (w << 32) // p
+            r = ctx.mul_shoup(r, jnp.uint32(w), jnp.uint32(ws))
+            acc = r if acc is None else ctx.add(acc, r)
+        results.append(acc)                   # (d, n1, m)
+    res = jnp.stack(results)                  # (2, d, n1, num_per*n2)
+    return res
+
+
+def finish_mxu_output(res, num_per: int, n2: int):
+    """(2, d, n1, num_per*n2) -> (num_per, n1, n2, 2, d)."""
+    crt, d, n1, _ = res.shape
+    v = res.reshape(crt, d, n1, num_per, n2)
+    return v.transpose(3, 2, 4, 0, 1)
