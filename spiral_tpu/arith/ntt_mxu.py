@@ -1,23 +1,29 @@
 """Four-step negacyclic NTT on the MXU.
 
 The d-point cyclic NTT factorises as d = d1*d2:
-    X[d1*e + c] = sum_b (w^{d1})^{be} * w^{bc} * [sum_a (w^{d2})^{ac} x[d2*a+b]]
+    X[d1*e + c] = sum_b (w^{d1})^{be} * T[b,c] * [sum_a W1[a,c] x[d2*a+b]]
 i.e. a d1-point DFT along one axis (matmul), an elementwise twiddle, and a
-d2-point DFT along the other (matmul).  Operands are 28-bit residues split
-into four 7-bit int8 limbs so both matmuls run exactly on the MXU with
-int32 accumulation (products <= 127^2, K <= 64 summands, limb-pair
-recombination < 2^26).  This replaces the reference's Harvey butterfly
-network (ref: src/core.cpp:247-514) with two dense matmuls — the shape
-the MXU systolic array is built for — instead of 11 strided butterfly
-stages.
+d2-point DFT along the other (matmul).  This replaces the reference's
+Harvey butterfly network (ref: src/core.cpp:247-514) with two dense
+matmuls — the shape the MXU systolic array is built for.
 
-The NTT-domain evaluation ordering differs from arith/ntt.py's Stockham
-order; both are valid pointwise conventions.  One engine must be used
-consistently for all ring data (crt_ntt() picks the engine globally).
+Exact integer arithmetic on the MXU:
+  * the data operand splits into four 7-bit int8 limbs x_j;
+  * instead of materialising all (j, i) limb-pair products, each matrix is
+    pre-scaled per data-limb, W^{(j)} = (2^{7j} W) mod p, and ITS limbs
+    form the rhs — the j axis joins the contraction, so the s32 output
+    carries only the 4-way matrix-limb axis (4x less traffic than the
+    naive 16 limb pairs);
+  * accumulation bound: 4*K*127^2 < 2^31 for K <= d1 = 64.
+
+The negacyclic psi-twist and the 1/d scale are folded into the matrices
+and the twiddle table, so a transform is exactly: matmul, twiddle-mulmod,
+matmul.  The NTT-domain evaluation ordering differs from arith/ntt.py's
+Stockham order; both are valid pointwise conventions and one engine is
+picked globally by crt_ntt().
 """
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax
@@ -33,38 +39,22 @@ N_LIMBS = 4
 
 
 def _limbs_i8(v):
-    """u32 (..., K) -> int8 (..., 4, K) limb planes."""
+    """u32 (..., K) -> int8 (..., 4, K) limb planes (j-major)."""
     parts = [((v >> (LIMB_BITS * j)) & jnp.uint32(0x7F)).astype(jnp.int8)
              for j in range(N_LIMBS)]
     return jnp.stack(parts, axis=-2)
 
 
-def _matrix_limbs(W: np.ndarray) -> np.ndarray:
-    """(K, N) u32 matrix -> (K, N*4) int8 with limb i at column n*4+i."""
+def _prescaled_matrix_limbs(W: np.ndarray, p: int) -> np.ndarray:
+    """(K, N) u32 -> (4*K, N*4) int8: rows (j, k) hold the int8 limbs i of
+    (2^{7j} * W[k, n]) mod p at column n*4+i."""
     K, N = W.shape
-    out = np.zeros((K, N, N_LIMBS), dtype=np.int8)
-    for i in range(N_LIMBS):
-        out[:, :, i] = ((W >> (LIMB_BITS * i)) & 0x7F).astype(np.int8)
-    return out.reshape(K, N * N_LIMBS)
-
-
-def _recombine(out_s32, p: int, N: int):
-    """(..., 4j, N*4i) s32 limb-pair products -> (..., N) u32 mod p."""
-    ctx = mod_ctx(p)
-    v = out_s32.reshape(out_s32.shape[:-2] + (N_LIMBS, N, N_LIMBS))
-    acc = None
-    for s in range(2 * N_LIMBS - 1):
-        terms = [v[..., i, :, s - i]
-                 for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1))]
-        S = terms[0]
-        for t in terms[1:]:
-            S = S + t
-        r = ctx.reduce_u32(S.astype(jnp.uint32))
-        w = (1 << (LIMB_BITS * s)) % p
-        ws = (w << 32) // p
-        r = ctx.mul_shoup(r, jnp.uint32(w), jnp.uint32(ws))
-        acc = r if acc is None else ctx.add(acc, r)
-    return acc
+    out = np.zeros((N_LIMBS, K, N, N_LIMBS), dtype=np.int8)
+    for j in range(N_LIMBS):
+        Wj = (W.astype(np.uint64) << (LIMB_BITS * j)) % p
+        for i in range(N_LIMBS):
+            out[j, :, :, i] = ((Wj >> (LIMB_BITS * i)) & 0x7F).astype(np.int8)
+    return out.reshape(N_LIMBS * K, N * N_LIMBS)
 
 
 class FourStepNtt:
@@ -87,65 +77,86 @@ class FourStepNtt:
         d2_inv = pow(d2, p - 2, p)
 
         def powmat(base, rows, cols):
-            e = (np.outer(np.arange(rows, dtype=object),
-                          np.arange(cols, dtype=object)))
+            e = np.outer(np.arange(rows, dtype=object),
+                         np.arange(cols, dtype=object))
             return np.vectorize(lambda x: pow(base, int(x), p),
-                                otypes=[np.uint64])(e).astype(np.uint32)
+                                otypes=[np.uint64])(e)
 
-        # forward: W1[a, c] = (w^{d2})^{ac}; T[b, c] = w^{bc};
-        #          W2[b, e] = (w^{d1})^{be}
-        self.W1 = _matrix_limbs(powmat(pow(omega, d2, p), d1, d1))
-        self.W2 = _matrix_limbs(powmat(pow(omega, d1, p), d2, d2))
-        T = powmat(omega, d2, d1)                 # (b, c)
-        self.T = T
-        self.T_shoup = self.ctx.shoup(T)
+        # forward, twist folded in:
+        #   W1f[a, c] = (w^{d2})^{ac} * psi^{d2 a}
+        #   Tf[b, c]  = w^{bc} * psi^b
+        #   W2f[b, e] = (w^{d1})^{be}
+        w1 = powmat(pow(omega, d2, p), d1, d1)
+        psi_a = np.array([pow(psi, d2 * a, p) for a in range(d1)],
+                         dtype=object)
+        W1f = ((w1 * psi_a[:, None]) % p).astype(np.uint32)
+        Tf = powmat(omega, d2, d1)
+        psi_b = np.array([pow(psi, b, p) for b in range(d2)], dtype=object)
+        Tf = ((Tf * psi_b[:, None]) % p).astype(np.uint32)
+        W2f = powmat(pow(omega, d1, p), d2, d2).astype(np.uint32)
 
-        # inverse matrices carry the 1/d1, 1/d2 scales
-        W1i = powmat(pow(omega_inv, d2, p), d1, d1).astype(np.uint64)
-        W1i = ((W1i * d1_inv) % p).astype(np.uint32)
-        W2i = powmat(pow(omega_inv, d1, p), d2, d2).astype(np.uint64)
-        W2i = ((W2i * d2_inv) % p).astype(np.uint32)
-        self.W1i = _matrix_limbs(W1i)
-        self.W2i = _matrix_limbs(W2i)
+        self.W1f = _prescaled_matrix_limbs(W1f, p)
+        self.W2f = _prescaled_matrix_limbs(W2f, p)
+        self.Tf = Tf
+        self.Tf_shoup = self.ctx.shoup(Tf)
+
+        # inverse, untwist + 1/d folded in:
+        #   W2i[e, b] = (1/d2) (w^{-d1})^{eb}
+        #   Ti[b, c]  = w^{-bc} * psi^{-b}
+        #   W1i[c, a] = (1/d1) (w^{-d2})^{ca} * psi^{-d2 a}
+        W2i = ((powmat(pow(omega_inv, d1, p), d2, d2) * d2_inv) % p
+               ).astype(np.uint32)
         Ti = powmat(omega_inv, d2, d1)
+        psi_b_inv = np.array([pow(psi_inv, b, p) for b in range(d2)],
+                             dtype=object)
+        Ti = ((Ti * psi_b_inv[:, None]) % p).astype(np.uint32)
+        w1i = powmat(pow(omega_inv, d2, p), d1, d1) * d1_inv % p
+        psi_a_inv = np.array([pow(psi_inv, d2 * a, p) for a in range(d1)],
+                             dtype=object)
+        W1i = ((w1i * psi_a_inv[None, :]) % p).astype(np.uint32)
+
+        self.W2i = _prescaled_matrix_limbs(W2i, p)
+        self.W1i = _prescaled_matrix_limbs(W1i, p)
         self.Ti = Ti
         self.Ti_shoup = self.ctx.shoup(Ti)
 
-        twist = np.array([pow(psi, i, p) for i in range(d)], dtype=np.uint64)
-        untwist = np.array([pow(psi_inv, i, p) for i in range(d)],
-                           dtype=np.uint64)
-        self.twist = twist.astype(np.uint32)
-        self.twist_shoup = self.ctx.shoup(twist)
-        self.untwist = untwist.astype(np.uint32)
-        self.untwist_shoup = self.ctx.shoup(untwist)
+        # recombination weights 2^{7i} mod p with shoup companions
+        ws = np.array([(1 << (LIMB_BITS * i)) % p for i in range(N_LIMBS)],
+                      dtype=np.uint64)
+        self._rw = ws.astype(np.uint32)
+        self._rw_shoup = self.ctx.shoup(ws)
 
     def _mm(self, x, Wl, contract_axis):
-        """x: (..., A, B) u32; contract the given axis (-1 or -2) with the
-        limb matrix Wl (K, N*4); returns (..., other, N) u32 mod p."""
-        xl = _limbs_i8(x)                     # (..., A, 4, B)? no:
-        # _limbs_i8 stacks on axis -2 giving (..., A, 4, B); we want limb
-        # axis free and contract axis last
+        """x: (..., A, B) u32; contract the given axis with the prescaled
+        limb matrix Wl (4K, N*4); returns (..., other, N) u32 mod p."""
+        xl = _limbs_i8(x)                     # (..., A, 4, B)
         if contract_axis == -2:
-            # contract A: move to last: (..., B, 4, A)
             xl = jnp.moveaxis(xl, -3, -1)     # (..., 4, B, A)
             xl = jnp.moveaxis(xl, -3, -2)     # (..., B, 4, A)
+        K = xl.shape[-1]
+        xl = xl.reshape(xl.shape[:-2] + (N_LIMBS * K,))
         out = jax.lax.dot_general(
             xl, jnp.asarray(Wl),
             dimension_numbers=(((xl.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)  # (..., X, 4, N*4)
+            preferred_element_type=jnp.int32)  # (..., X, N*4)
         N = Wl.shape[1] // N_LIMBS
-        return _recombine(out, self.p, N)      # (..., X, N)
+        v = out.reshape(out.shape[:-1] + (N, N_LIMBS))
+        acc = None
+        for i in range(N_LIMBS):
+            r = self.ctx.reduce_u32(v[..., i].astype(jnp.uint32))
+            r = self.ctx.mul_shoup(r, jnp.uint32(int(self._rw[i])),
+                                   jnp.uint32(int(self._rw_shoup[i])))
+            acc = r if acc is None else self.ctx.add(acc, r)
+        return acc
 
     def forward(self, x):
         d1, d2 = self.d1, self.d2
-        x = self.ctx.mul_shoup(x, jnp.asarray(self.twist),
-                               jnp.asarray(self.twist_shoup))
         v = x.reshape(x.shape[:-1] + (d1, d2))    # [a, b]
-        y = self._mm(v, self.W1, contract_axis=-2)   # (..., b, c)
-        y = self.ctx.mul_shoup(y, jnp.asarray(self.T),
-                               jnp.asarray(self.T_shoup))
+        y = self._mm(v, self.W1f, contract_axis=-2)   # (..., b, c)
+        y = self.ctx.mul_shoup(y, jnp.asarray(self.Tf),
+                               jnp.asarray(self.Tf_shoup))
         z = jnp.swapaxes(y, -1, -2)               # (..., c, b)
-        z = self._mm(z, self.W2, contract_axis=-1)   # (..., c, e)
+        z = self._mm(z, self.W2f, contract_axis=-1)   # (..., c, e)
         return z.reshape(x.shape[:-1] + (self.d,))
 
     def inverse(self, x):
@@ -157,9 +168,7 @@ class FourStepNtt:
                                jnp.asarray(self.Ti_shoup))
         z = self._mm(y, self.W1i, contract_axis=-1)  # (..., b, a)
         z = jnp.swapaxes(z, -1, -2)               # (..., a, b)
-        z = z.reshape(x.shape[:-1] + (self.d,))
-        return self.ctx.mul_shoup(z, jnp.asarray(self.untwist),
-                                  jnp.asarray(self.untwist_shoup))
+        return z.reshape(x.shape[:-1] + (self.d,))
 
 
 class CrtNttMxu:

@@ -46,6 +46,21 @@ def modswitch_response(ct_host: np.ndarray, params: Params) -> Response:
     )
 
 
+def modswitch_response_from_residues(final_np: np.ndarray,
+                                     params: Params) -> Response:
+    """(rows, cols, 2, d) u32 residue tensor (host) -> Response, via the
+    native runtime (exact; falls back to python ints)."""
+    from .. import native
+    from ..params import B_I, P_I
+    from ..arith.crt import P_INV_MOD_B
+    v = native.crt_lift_u64(final_np[..., 0, :], final_np[..., 1, :],
+                            P_I, B_I, P_INV_MOD_B)
+    return Response(
+        first_row=native.rescale_u64(v[:1], Q, params.arb_qprime),
+        rest_rows=native.rescale_u64(v[1:], Q, 4 * params.p_db),
+    )
+
+
 def decode_response(resp: Response, Sp_centered: np.ndarray, params: Params
                     ) -> np.ndarray:
     """Recombine to the plaintext matrix (ref: spiral.cpp:1452-1475).

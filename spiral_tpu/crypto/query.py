@@ -1,10 +1,15 @@
-"""Client query generation for the main (non-pack) variants
-(ref: src/spiral.cpp:2099-2193 sigma encoding, 2182-2193 & 2298-2309
-direct upload).
+"""Client query generation (ref: src/spiral.cpp:2099-2193 sigma encoding,
+2182-2193 & 2298-2309 direct upload).
 
-Spiral: a single scalar-Regev ct whose coefficients pack the first-dim
-indicator (position idx_dim0, or even slots with the stopround trick) and
-the GSW digit values (odd slots / tail positions), pre-scaled by 2^{-g}.
+Queries are seed-compressed: every scalar-Regev ciphertext is (-a, b) with
+`a` drawn from a PRF stream, so the query carries one 32-bit seed plus the
+b-polynomial(s) only.  The server re-derives the a-halves from the seed.
+This makes the reference's reported query sizes (one polynomial per
+scalar ct, e.g. 14,336 B for the packed Spiral query) literal.
+
+Spiral: a single ct whose coefficients pack the first-dim indicator
+(position idx_dim0, or even slots with the stopround trick) and the GSW
+digit values (odd slots / tail positions), pre-scaled by 2^-g.
 SpiralStream: every scalar ct is uploaded directly.
 """
 from __future__ import annotations
@@ -16,16 +21,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..params import Params, Q, get_bits_per
-from ..core.poly import PolyMat
+from ..arith.ntt import crt_ntt
+from ..core.poly import PolyMat, add_raw, neg_raw, scalar_mul_raw
+from ..core.sampling import gaussian_residues, uniform_residues
 from .encrypt import Encryptor
 
 
 @dataclasses.dataclass
 class Query:
-    packed_ct: jnp.ndarray | None = None    # (n0, 1, 2, d) NTT
-    first_cts: jnp.ndarray | None = None    # (dim0, n0, 1, 2, d) NTT
-    gsw_cts: jnp.ndarray | None = None      # (nu2*t_gsw, n0, 1, 2, d) NTT
+    seed: int
+    packed_b: jnp.ndarray | None = None   # (1, 1, 2, d) NTT
+    first_b: jnp.ndarray | None = None    # (dim0, 1, 1, 2, d) NTT
+    gsw_b: jnp.ndarray | None = None      # (n_gsw, 1, 1, 2, d) NTT
     size_bytes: int = 0
+
+
+def derive_a_ntt(seed, n_cts: int, d: int):
+    """PRF-derived uniform a-halves, NTT domain: (n_cts, 1, 1, 2, d).
+    Shared verbatim by client and server; `seed` may be a python int or a
+    traced int32 scalar (so servers don't recompile per query)."""
+    key = jax.random.key(seed)
+    a = uniform_residues(key, (n_cts, 1, 1, d))
+    return crt_ntt(d).forward(a)
+
+
+def reconstruct_cts(seed, b_ntt):
+    """Server side: (-a, b) scalar cts from the seed + b rows.
+    b_ntt: (n, 1, 1, 2, d) -> (n, 2, 1, 2, d)."""
+    a_ntt = derive_a_ntt(seed, b_ntt.shape[0], b_ntt.shape[-1])
+    return jnp.concatenate([neg_raw(a_ntt), b_ntt], axis=-4)
+
+
+def encrypt_b_batch(enc: Encryptor, noise_key, seed: int, sigmas_ntt):
+    """b = a*sr + e + sigma for a batch of sigmas (n, 1, 1, 2, d) NTT."""
+    n, d = sigmas_ntt.shape[0], sigmas_ntt.shape[-1]
+    a_ntt = derive_a_ntt(seed, n, d)
+    sr_ntt = enc.keys.sr.to_ntt().data[0, 0]
+    asr = scalar_mul_raw(sr_ntt, a_ntt)
+    if enc.nonoise:
+        e_ntt = jnp.zeros_like(sigmas_ntt)
+    else:
+        e = gaussian_residues(noise_key, (n, 1, 1, d))
+        e_ntt = crt_ntt(d).forward(e)
+    return add_raw(add_raw(asr, e_ntt), sigmas_ntt)
 
 
 def _sigma_poly(params: Params, idx: int) -> np.ndarray:
@@ -58,37 +96,49 @@ def _sigma_poly(params: Params, idx: int) -> np.ndarray:
     return sig
 
 
-def generate_query(params: Params, enc: Encryptor, key, idx: int) -> Query:
-    d = params.poly_len
+def stream_sigmas(params: Params, idx: int) -> np.ndarray:
+    """Direct-upload sigma list: dim0 indicators then GSW digit values.
+    Returns (dim0 + nu2*t_gsw,) object ints."""
     idx_dim0 = idx // params.num_per
     idx_further = idx % params.num_per
     ell = params.t_gsw
     bits_per = get_bits_per(ell)
+    sig = np.zeros(params.dim0 + params.further_dims * ell, dtype=object)
+    sig[idx_dim0] = params.scale_k
+    for i in range(params.further_dims):
+        bit = (idx_further >> i) & 1
+        for j in range(ell):
+            sig[params.dim0 + i * ell + j] = bit << (bits_per * j)
+    return sig
 
-    n_cts = params.dim0 + params.further_dims * ell + 1
-    ks = jax.random.split(key, n_cts)
+
+def _const_sigmas_ntt(vals: np.ndarray, d: int):
+    """(n,) object ints -> (n, 1, 1, 2, d) NTT residue tensor (constants
+    are NTT-invariant only after the transform; build coeff then NTT)."""
+    n = len(vals)
+    arr = np.zeros((n, 1, 1, d), dtype=object)
+    arr[:, 0, 0, 0] = vals
+    return crt_ntt(d).forward(PolyMat.from_host(arr).data)
+
+
+def generate_query(params: Params, enc: Encryptor, key, idx: int) -> Query:
+    d = params.poly_len
+    seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+    knoise = jax.random.fold_in(key, 1)
 
     if not params.direct_upload_first:
         assert not params.direct_upload_rest, \
             "partial direct upload (subrounds) not supported yet"
         sigma = PolyMat.from_host(_sigma_poly(params, idx)[None, None, :])
-        ct = enc.encrypt_simple_regev(ks[0], sigma)
-        return Query(packed_ct=ct.data,
-                     size_bytes=params.n0 * params.bytes_per_poly)
+        sig_ntt = sigma.to_ntt().data[None]
+        b = encrypt_b_batch(enc, knoise, seed, sig_ntt)
+        return Query(seed=seed, packed_b=b,
+                     size_bytes=params.bytes_per_poly)
 
-    # SpiralStream: direct upload of every scalar ct
-    first = []
-    for j in range(params.dim0):
-        sig = PolyMat.single(params.scale_k if j == idx_dim0 else 0, d)
-        first.append(enc.encrypt_simple_regev(ks[1 + j], sig).data)
-    gsw = []
-    for i in range(params.further_dims):
-        bit = (idx_further >> i) & 1
-        for j in range(ell):
-            val = (bit << (bits_per * j))
-            sig = PolyMat.single(val, d)
-            gsw.append(enc.encrypt_simple_regev(
-                ks[1 + params.dim0 + i * ell + j], sig).data)
-    nbytes = (len(first) + len(gsw)) * params.n0 * params.bytes_per_poly
-    return Query(first_cts=jnp.stack(first), gsw_cts=jnp.stack(gsw),
-                 size_bytes=nbytes)
+    # SpiralStream: direct upload of every scalar ct (b halves only)
+    sig = stream_sigmas(params, idx)
+    sig_ntt = _const_sigmas_ntt(sig, d)
+    b = encrypt_b_batch(enc, knoise, seed, sig_ntt)
+    n_first = params.dim0
+    return Query(seed=seed, first_b=b[:n_first], gsw_b=b[n_first:],
+                 size_bytes=len(sig) * params.bytes_per_poly)

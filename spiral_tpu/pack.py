@@ -25,7 +25,8 @@ from .crypto.keys import keygen, SecretKeys
 from .crypto.encrypt import Encryptor
 from .crypto.decode import Response, decode_response
 from .core.rescale import rescale_array
-from .crypto.query import Query
+from .crypto.query import (Query, encrypt_b_batch, reconstruct_cts,
+                           _const_sigmas_ntt)
 from .pir import ServerTimings
 from .server.db import EncodedDb
 from .server.expand import coefficient_expansion
@@ -70,45 +71,51 @@ class PackClient:
         p = self.params
         d = p.poly_len
         out_n, m_conv = p.out_n, p.m_conv
-        k1, k2, k3, k4 = jax.random.split(self._k_pub, 4)
-        size = 0
 
-        # packing keys: v_W[r] = Enc_S(row r = sr * g)  (ref: 917-925)
-        g_vec = build_gadget(1, m_conv, d).to_ntt()
-        s0g = g_vec.scalar_mul(self.keys.sr.to_ntt())   # 1 x m_conv
-        ws = []
-        for r, kk in enumerate(jax.random.split(k1, out_n)):
-            AG = PolyMat.zeros(out_n, m_conv, d, ntt=True).place(s0g, r, 0)
-            ws.append(self.enc.encrypt_matrix(kk, AG, n_out=out_n).data)
-        v_W = jnp.stack(ws)
-        size += out_n * (out_n + 1) * m_conv * d * 56 // 8
+        def inner(key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            # packing keys: v_W[r] = Enc_S(row r = sr * g)  (ref: 917-925)
+            g_vec = build_gadget(1, m_conv, d).to_ntt()
+            s0g = g_vec.scalar_mul(self.keys.sr.to_ntt())   # 1 x m_conv
+            ws = []
+            for r, kk in enumerate(jax.random.split(k1, out_n)):
+                AG = PolyMat.zeros(out_n, m_conv, d, ntt=True).place(
+                    s0g, r, 0)
+                ws.append(self.enc.encrypt_matrix(kk, AG, n_out=out_n).data)
+            v_W = jnp.stack(ws)
 
-        W_exp_left = W_exp_right = None
-        V = None
-        if not p.direct_upload_first:
-            g, stop = pack_g_stop(p)
-            W_exp_left = expansion_keyswitch_matrices(
-                self.enc, self.keys, k2, g, p.m_exp, d)
-            W_exp_right = expansion_keyswitch_matrices(
-                self.enc, self.keys, k3, stop + 1, p.m_exp_right, d)
+            W_exp_left = W_exp_right = []
+            V = PolyMat.zeros(2, 2 * m_conv, d, ntt=True)
+            if not p.direct_upload_first:
+                g, stop = pack_g_stop(p)
+                W_exp_left = expansion_keyswitch_matrices(
+                    self.enc, self.keys, k2, g, p.m_exp, d)
+                W_exp_right = expansion_keyswitch_matrices(
+                    self.enc, self.keys, k3, stop + 1, p.m_exp_right, d)
+
+                # V: col 2k = Enc(sr^2 z^k), col 2k+1 = Enc(sr z^k)
+                # (ref: testing.cpp:931-943)
+                bits = get_bits_per(m_conv)
+                s0_ntt = self.keys.sr.to_ntt()
+                s0sq = (s0_ntt @ s0_ntt)
+                kcols = jax.random.split(k4, 2 * m_conv)
+                for i in range(2 * m_conv):
+                    zj = 1 << (bits * (i // 2))
+                    base = s0sq if i % 2 == 0 else s0_ntt
+                    sigma = base.mul_const(zj).from_ntt()
+                    ct = self.enc.encrypt_simple_regev(kcols[i], sigma)
+                    V = V.place(ct, 0, i)
+            return v_W, W_exp_left, W_exp_right, V
+
+        v_W, W_exp_left, W_exp_right, V = jax.jit(inner)(self._k_pub)
+        size = out_n * (out_n + 1) * m_conv * d * 56 // 8
+        if W_exp_left:
             size += sum(_pub_size((w.rows, w.cols), d)
-                        for w in W_exp_left + W_exp_right)
-
-            # V: col 2k = Enc(sr^2 z^k), col 2k+1 = Enc(sr z^k)
-            # (ref: testing.cpp:931-943)
-            bits = get_bits_per(m_conv)
-            s0_ntt = self.keys.sr.to_ntt()
-            s0sq = (s0_ntt @ s0_ntt)
-            Vm = PolyMat.zeros(2, 2 * m_conv, d, ntt=True)
-            kcols = jax.random.split(k4, 2 * m_conv)
-            for i in range(2 * m_conv):
-                zj = 1 << (bits * (i // 2))
-                base = s0sq if i % 2 == 0 else s0_ntt
-                sigma = base.mul_const(zj).from_ntt()
-                ct = self.enc.encrypt_simple_regev(kcols[i], sigma)
-                Vm = Vm.place(ct, 0, i)
-            V = Vm
+                        for w in list(W_exp_left) + list(W_exp_right))
             size += 2 * 2 * m_conv * d * 56 // 8
+        else:
+            W_exp_left = W_exp_right = None
+            V = None
         return PackPublicParams(v_W=v_W, W_exp_left=W_exp_left,
                                 W_exp_right=W_exp_right, V=V,
                                 size_bytes=size)
@@ -123,6 +130,9 @@ class PackClient:
         bits_per = get_bits_per(ell)
         self._k_query, key = jax.random.split(self._k_query)
 
+        seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+        knoise = jax.random.fold_in(key, 1)
+
         if not p.direct_upload_first:
             g, stop = pack_g_stop(p)
             sig = np.zeros(d, dtype=object)
@@ -135,31 +145,32 @@ class PackClient:
             inv_rest = pow(1 << (stop + 1), -1, Q)
             sig[0::2] = (sig[0::2] * inv_first) % Q
             sig[1::2] = (sig[1::2] * inv_rest) % Q
-            ct = self.enc.encrypt_simple_regev(
-                key, PolyMat.from_host(sig[None, None, :]))
-            return Query(packed_ct=ct.data,
-                         size_bytes=p.n0 * p.bytes_per_poly)
+            sig_ntt = PolyMat.from_host(sig[None, None, :]).to_ntt().data[None]
+            b = encrypt_b_batch(self.enc, knoise, seed, sig_ntt)
+            return Query(seed=seed, packed_b=b,
+                         size_bytes=p.bytes_per_poly)
 
-        # SpiralStreamPack: upload first-dim scalars + full folding cts
-        ks = jax.random.split(key, p.dim0 + 2 * ell * p.further_dims)
-        first = [self.enc.encrypt_simple_regev(
-            ks[j], PolyMat.single(p.scale_k if j == idx_dim0 else 0, d)).data
-            for j in range(p.dim0)]
-        gsw = []
-        s0 = self.keys.sr.to_ntt()
-        ki = p.dim0
+        # SpiralStreamPack: upload first-dim scalars + GSW pairs
+        # (col 2j: sr*val, col 2j+1: val — ref: testing.cpp:969-979)
+        firsts = np.zeros(p.dim0, dtype=object)
+        firsts[idx_dim0] = p.scale_k
+        first_sig = _const_sigmas_ntt(firsts, d)
+        s0_ntt = self.keys.sr.to_ntt()
+        pair_sigs = []
+        eng = crt_ntt(d)
         for i in range(p.further_dims):
             bit = (idx_further >> i) & 1
             for j in range(ell):
                 val = bit << (bits_per * j)
-                # col 2j: Enc(sr*val), col 2j+1: Enc(val) (ref: 969-979)
-                sv = s0.mul_const(val).from_ntt()
-                gsw.append(self.enc.encrypt_simple_regev(ks[ki], sv).data)
-                gsw.append(self.enc.encrypt_simple_regev(
-                    ks[ki + 1], PolyMat.single(val, d)).data)
-                ki += 2
-        nbytes = (len(first) + len(gsw)) * p.n0 * p.bytes_per_poly
-        return Query(first_cts=jnp.stack(first), gsw_cts=jnp.stack(gsw),
+                pair_sigs.append(s0_ntt.mul_const(val).data)
+                pair_sigs.append(_const_sigmas_ntt(
+                    np.array([val], dtype=object), d)[0])
+        gsw_sig = jnp.stack(pair_sigs).reshape(
+            len(pair_sigs), 1, 1, 2, d)
+        sig_all = jnp.concatenate([first_sig, gsw_sig], axis=0)
+        b = encrypt_b_batch(self.enc, knoise, seed, sig_all)
+        nbytes = sig_all.shape[0] * p.bytes_per_poly
+        return Query(seed=seed, first_b=b[:p.dim0], gsw_b=b[p.dim0:],
                      size_bytes=nbytes)
 
     def decode(self, resp: Response) -> np.ndarray:
@@ -249,6 +260,8 @@ def pack_ciphertexts(result_cts, v_W, params: Params):
 
 
 class PackServer:
+    """Jitted per-stage pipeline (mirrors SpiralServer's structure)."""
+
     def __init__(self, params: Params, db: EncodedDb, pub: PackPublicParams):
         self.params = params
         self.db = db
@@ -257,71 +270,127 @@ class PackServer:
         self._gadget_ntt = build_gadget(
             2, 2 * params.t_gsw, d).to_ntt().data
         self._eng = crt_ntt(d)
+        self._build_stages()
 
-    def _expand_query(self, query: Query):
+    def _build_stages(self):
         p = self.params
-        if query.packed_ct is None:
-            return query.first_cts, query.gsw_cts, True
-        g, stop = pack_g_stop(p)
-        ell = p.t_gsw
-        cv = coefficient_expansion(
-            query.packed_ct, g, [w.data for w in self.pub.W_exp_left],
-            [w.data for w in self.pub.W_exp_right], p,
-            max_bits_to_gen_right=ell * p.further_dims, stopround=stop)
-        first = cv[0::2][:p.dim0]
-        gsw_src = cv[1::2][:ell * p.further_dims]
-        return first, gsw_src, False
+        eng = self._eng
+        pub = self.pub
+        gadget_ntt = self._gadget_ntt
 
-    def process_query(self, query: Query):
-        p = self.params
-        timings = ServerTimings()
-        t0 = time.perf_counter()
-        first, gsw_src, direct = self._expand_query(query)
-        first.block_until_ready()
-        t1 = time.perf_counter()
-        timings.expansion_us = 0.0 if direct else (t1 - t0) * 1e6
-
-        # conversion to GSW folding cts
-        if direct:
-            # uploaded pairs (sr*val, val): interleave into (nu2, 2, 2*ell)
+        def expand(seed, packed_b):
+            packed_ct = reconstruct_cts(seed, packed_b)[0]
+            g, stop = pack_g_stop(p)
             ell = p.t_gsw
-            pair = gsw_src.reshape(p.further_dims, ell, 2, 2, 1, 2,
+            cv = coefficient_expansion(
+                packed_ct, g, [w.data for w in pub.W_exp_left],
+                [w.data for w in pub.W_exp_right], p,
+                max_bits_to_gen_right=ell * p.further_dims, stopround=stop)
+            return cv[0::2][:p.dim0], cv[1::2][:ell * p.further_dims]
+
+        def conv(gsw_src):
+            q_pos = regev_to_simple_gsw(gsw_src, pub.V.data, p)
+            return _neg_pair(q_pos)
+
+        def reconstruct_direct(seed, first_b, gsw_b):
+            b = jnp.concatenate([first_b, gsw_b], axis=0)
+            cts = reconstruct_cts(seed, b)
+            return cts[:p.dim0], cts[p.dim0:]
+
+        def conv_direct(gsw_cts):
+            ell = p.t_gsw
+            pair = gsw_cts.reshape(p.further_dims, ell, 2, 2, 1, 2,
                                    p.poly_len)
             # (nu2, ell, pair, row, 2, d) -> rows out, cols 2j+pair
             q_pos = pair[:, :, :, :, 0].transpose(0, 3, 1, 2, 4, 5).reshape(
                 p.further_dims, 2, 2 * ell, 2, p.poly_len)
+            return _neg_pair(q_pos)
+
+        def _neg_pair(q_pos):
+            # slot s selects bit nu2-1-s (ref: testing.cpp:615-619)
+            q_pos = q_pos[::-1]
+            q_neg = sub_raw(jnp.broadcast_to(gadget_ntt, q_pos.shape), q_pos)
+            return q_pos, q_neg
+
+        def fdim(db_data, first):
+            qk = first[:, :, 0]            # (K=dim0, C=ct rows, 2, d)
+            out = matmul_raw(db_data, qk)  # (T, num_per, 1, 2, 2, d)
+            return eng.inverse(out.transpose(0, 1, 3, 2, 4, 5))
+
+        def fold(cts_coeff, q_pos, q_neg):
+            return fold_pack(cts_coeff, q_pos, q_neg, p)
+
+        def pack_stage(result):
+            packed = pack_ciphertexts(result, pub.v_W, p)
+            return eng.inverse(packed)     # (out_n+1, out_n, 2, d)
+
+        self._stage_expand = jax.jit(expand)
+        self._stage_reconstruct = jax.jit(reconstruct_direct)
+        self._stage_conv = jax.jit(conv)
+        self._stage_conv_direct = jax.jit(conv_direct)
+        self._stage_fdim = jax.jit(fdim)
+        self._stage_fold = jax.jit(fold)
+        self._stage_pack = jax.jit(pack_stage)
+
+    def _modswitch(self, packed_coeff):
+        from .crypto.decode import modswitch_response_from_residues
+        import numpy as _np
+        return modswitch_response_from_residues(
+            _np.asarray(packed_coeff), self.params)
+
+    def process_query(self, query: Query):
+        timings = ServerTimings()
+        t0 = time.perf_counter()
+        seed = jnp.int32(query.seed)
+        if query.packed_b is not None:
+            first, gsw_src = self._stage_expand(seed, query.packed_b)
+            first.block_until_ready()
+            t1 = time.perf_counter()
+            timings.expansion_us = (t1 - t0) * 1e6
+            q_pos, q_neg = self._stage_conv(gsw_src)
         else:
-            q_pos = regev_to_simple_gsw(gsw_src, self.pub.V.data, p)
-        # slot s selects bit nu2-1-s: reverse (ref: testing.cpp:615-619)
-        q_pos = q_pos[::-1]
-        q_neg = sub_raw(jnp.broadcast_to(self._gadget_ntt, q_pos.shape),
-                        q_pos)
+            first, gsw_cts = self._stage_reconstruct(
+                seed, query.first_b, query.gsw_b)
+            t1 = time.perf_counter()
+            q_pos, q_neg = self._stage_conv_direct(gsw_cts)
         q_neg.block_until_ready()
         t2 = time.perf_counter()
         timings.conversion_us = (t2 - t1) * 1e6
 
-        # first-dim: query (K=dim0, C=ct rows, 2, d)
-        qk = first[:, :, 0]
-        out = matmul_raw(self.db.data, qk)           # (T, num_per, 1, 2, 2, d)
-        cts_coeff = self._eng.inverse(
-            out.transpose(0, 1, 3, 2, 4, 5))         # (T, num_per, 2, 1, 2, d)
+        cts_coeff = self._stage_fdim(self.db.data, first)
         cts_coeff.block_until_ready()
         t3 = time.perf_counter()
         timings.first_multiply_us = (t3 - t2) * 1e6
 
-        result = fold_pack(cts_coeff, q_pos, q_neg, p)
+        result = self._stage_fold(cts_coeff, q_pos, q_neg)
         result.block_until_ready()
         t4 = time.perf_counter()
         timings.folding_us = (t4 - t3) * 1e6
 
-        packed = pack_ciphertexts(result, self.pub.v_W, p)
-        packed_coeff = self._eng.inverse(packed)     # (out_n+1, out_n, 2, d)
-        ct_host = PolyMat(packed_coeff, ntt=False)
-        host = ct_host.to_host_int()
-        qp = p.arb_qprime
-        q1 = 4 * p.p_db
-        resp = Response(first_row=rescale_array(host[:1], Q, qp),
-                        rest_rows=rescale_array(host[1:], Q, q1))
+        packed_coeff = self._stage_pack(result)
+        packed_coeff.block_until_ready()
+        resp = self._modswitch(packed_coeff)
         t5 = time.perf_counter()
         timings.packing_us = (t5 - t4) * 1e6
         return resp, timings
+
+    def process_query_fused(self, query: Query):
+        """Async-chained pipeline (one host round trip + device compute)."""
+        def run():
+            seed = jnp.int32(query.seed)
+            if query.packed_b is not None:
+                first, gsw_src = self._stage_expand(seed, query.packed_b)
+                q_pos, q_neg = self._stage_conv(gsw_src)
+            else:
+                first, gsw_cts = self._stage_reconstruct(
+                    seed, query.first_b, query.gsw_b)
+                q_pos, q_neg = self._stage_conv_direct(gsw_cts)
+            cts = self._stage_fdim(self.db.data, first)
+            return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
+
+        run().block_until_ready()          # warm/compile
+        t0 = time.perf_counter()
+        packed_coeff = run()
+        packed_coeff.block_until_ready()
+        t1 = time.perf_counter()
+        return self._modswitch(packed_coeff), (t1 - t0)

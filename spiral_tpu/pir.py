@@ -22,8 +22,9 @@ from .core.gadget import build_gadget
 from .crypto.keys import keygen, SecretKeys
 from .crypto.encrypt import Encryptor
 from .crypto.publicparams import PublicParams, generate_public_params
-from .crypto.query import Query, generate_query
-from .crypto.decode import Response, decode_response, modswitch_response
+from .crypto.query import Query, generate_query, reconstruct_cts
+from .crypto.decode import (Response, decode_response,
+                            modswitch_response_from_residues)
 from .server.db import EncodedDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
@@ -100,7 +101,8 @@ class SpiralServer:
         g2 = self._g2_ntt
         pub = self.pub
 
-        def expand(packed_ct):
+        def expand(seed, packed_b):
+            packed_ct = reconstruct_cts(seed, packed_b)[0]
             ell = p.t_gsw
             cv = coefficient_expansion(
                 packed_ct, p.g, [w.data for w in pub.W_exp_left],
@@ -131,7 +133,13 @@ class SpiralServer:
         def fold(cts_coeff, q_pos, q_neg):
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
 
+        def reconstruct_direct(seed, first_b, gsw_b):
+            b = jnp.concatenate([first_b, gsw_b], axis=0)
+            cts = reconstruct_cts(seed, b)
+            return cts[:p.dim0], cts[p.dim0:]
+
         self._stage_expand = jax.jit(expand)
+        self._stage_reconstruct = jax.jit(reconstruct_direct)
         self._stage_comp = jax.jit(comp)
         self._stage_conv = jax.jit(conv)
         self._stage_fdim = jax.jit(fdim)
@@ -141,10 +149,13 @@ class SpiralServer:
         """Chain the jitted stages without host sync: JAX async dispatch
         queues all stages on-device, so the measured wall time is one host
         round trip plus device compute (crucial over a remote TPU tunnel)."""
-        if query.packed_ct is not None:
-            first_scalars, gsw_scalars = self._stage_expand(query.packed_ct)
+        seed = jnp.int32(query.seed)
+        if query.packed_b is not None:
+            first_scalars, gsw_scalars = self._stage_expand(
+                seed, query.packed_b)
         else:
-            first_scalars, gsw_scalars = query.first_cts, query.gsw_cts
+            first_scalars, gsw_scalars = self._stage_reconstruct(
+                seed, query.first_b, query.gsw_b)
         C_reg = self._stage_comp(first_scalars)
         q_pos, q_neg = self._stage_conv(gsw_scalars)
         cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
@@ -160,13 +171,16 @@ class SpiralServer:
         timings = ServerTimings()
 
         t0 = tick()
-        if query.packed_ct is not None:
-            first_scalars, gsw_scalars = self._stage_expand(query.packed_ct)
+        seed = jnp.int32(query.seed)
+        if query.packed_b is not None:
+            first_scalars, gsw_scalars = self._stage_expand(
+                seed, query.packed_b)
             first_scalars.block_until_ready()
             t1 = tick()
             timings.expansion_us = (t1 - t0) * 1e6
         else:
-            first_scalars, gsw_scalars = query.first_cts, query.gsw_cts
+            first_scalars, gsw_scalars = self._stage_reconstruct(
+                seed, query.first_b, query.gsw_b)
             t1 = tick()
 
         C_reg = self._stage_comp(first_scalars)
@@ -189,9 +203,8 @@ class SpiralServer:
         t5 = tick()
         timings.folding_us = (t5 - t4) * 1e6
 
-        # modulus switch (two-modulus response, host)
-        final_host = PolyMat(final, ntt=False).to_host_int()
-        resp = modswitch_response(final_host, p)
+        # modulus switch (two-modulus response, host/native)
+        resp = modswitch_response_from_residues(np.asarray(final), p)
         t6 = tick()
         timings.modswitch_us = (t6 - t5) * 1e6
         return resp, timings
@@ -205,8 +218,8 @@ class SpiralServer:
         final = self._run_async(query)
         final.block_until_ready()
         t1 = tick()
-        final_host = PolyMat(final, ntt=False).to_host_int()
-        resp = modswitch_response(final_host, self.params)
+        resp = modswitch_response_from_residues(np.asarray(final),
+                                                self.params)
         return resp, (t1 - t0)
 
 
