@@ -29,6 +29,8 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spiral_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from spiral_tpu.params import preset
     from spiral_tpu.pir import SpiralClient, SpiralServer
     from spiral_tpu.server.db import encode_db_chunked

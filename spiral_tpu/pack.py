@@ -187,7 +187,7 @@ def encode_pack_db(pts: np.ndarray, params: Params) -> EncodedDb:
     from .params import B_I, P_I
     p_db = params.p_db
     t = pts.transpose(1, 2, 0, 3).reshape(
-        params.out_n ** 2, params.total_n, params.poly_len)
+        params.out_n ** 2, params.total_n, params.poly_len).astype(np.int64)
     centered = np.where(t >= p_db // 2, t - p_db, t)
     limb_p = np.where(centered < 0, centered + P_I, centered).astype(np.uint32)
     limb_b = np.where(centered < 0, centered + B_I, centered).astype(np.uint32)

@@ -1,0 +1,114 @@
+"""Wire formats: bit-packed responses, seeded queries, DB checkpointing.
+
+Response serialization matches the reference's accounting exactly: row 0
+at q'-width bits per coefficient, remaining rows at log2(4p) bits
+(ref: src/spiral.cpp:40-78 modswitch + write_arbitrary_bits,
+src/client.cpp:90-112 load_modswitched_into_ct).  The reference stubs DB
+save/load (spiral.cpp:1095-1162 TODOs); here it's implemented over the
+encoded serving tensor.
+"""
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+
+import numpy as np
+
+from . import native
+from .params import Params
+from .crypto.decode import Response
+from .crypto.query import Query
+
+
+def response_to_bytes(resp: Response, params: Params) -> bytes:
+    qp_bits = params.bits_to_hold_arb_qprime
+    q1_bits = int(math.log2(4 * params.p_db))
+    first = np.asarray(resp.first_row, dtype=np.uint64).ravel()
+    rest = np.asarray(resp.rest_rows, dtype=np.uint64).ravel()
+    b1 = native.bit_pack(first, qp_bits)
+    b2 = native.bit_pack(rest, q1_bits)
+    header = len(b1).to_bytes(4, "little")
+    return header + b1 + b2
+
+
+def response_from_bytes(data: bytes, params: Params, rows: int,
+                        cols: int) -> Response:
+    qp_bits = params.bits_to_hold_arb_qprime
+    q1_bits = int(math.log2(4 * params.p_db))
+    d = params.poly_len
+    b1_len = int.from_bytes(data[:4], "little")
+    b1 = data[4:4 + b1_len]
+    b2 = data[4 + b1_len:]
+    first = native.bit_unpack(b1, qp_bits, cols * d).reshape(1, cols, d)
+    rest = native.bit_unpack(b2, q1_bits, (rows - 1) * cols * d).reshape(
+        rows - 1, cols, d)
+    return Response(first_row=first, rest_rows=rest)
+
+
+def query_to_bytes(query: Query, params: Params) -> bytes:
+    """Seed + b-polynomials, Garner-packed at logQ=56 bits/coefficient.
+
+    (The NTT-domain residue pair maps bijectively to a 56-bit word via the
+    Garner lift, so this matches the reference's logQ-per-coefficient
+    query accounting.)
+    """
+    from .arith.crt import P_INV_MOD_B
+    from .params import B_I, P_I
+    parts = [b"SPQ1", int(query.seed).to_bytes(4, "little")]
+    for field in (query.packed_b, query.first_b, query.gsw_b):
+        if field is None:
+            parts.append((0).to_bytes(4, "little"))
+            continue
+        h = np.asarray(field)
+        v = native.crt_lift_u64(h[..., 0, :], h[..., 1, :], P_I, B_I,
+                                P_INV_MOD_B)
+        packed = native.bit_pack(v.ravel().astype(np.uint64), 56)
+        parts.append(len(packed).to_bytes(4, "little"))
+        parts.append(int(np.prod(v.shape[:-1])).to_bytes(4, "little"))
+        parts.append(packed)
+    return b"".join(parts)
+
+
+def query_from_bytes(data: bytes, params: Params) -> Query:
+    from .params import B_I, P_I
+    import jax.numpy as jnp
+    assert data[:4] == b"SPQ1"
+    seed = int.from_bytes(data[4:8], "little")
+    off = 8
+    d = params.poly_len
+    fields = []
+    for _ in range(3):
+        blen = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        if blen == 0:
+            fields.append(None)
+            continue
+        npolys = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        v = native.bit_unpack(data[off:off + blen], 56, npolys * d)
+        off += blen
+        v = v.reshape(npolys // 1, 1, 1, d) if npolys else v
+        x = (v % np.uint64(P_I)).astype(np.uint32)
+        y = (v % np.uint64(B_I)).astype(np.uint32)
+        fields.append(jnp.asarray(np.stack([x, y], axis=-2)))
+    return Query(seed=seed, packed_b=fields[0], first_b=fields[1],
+                 gsw_b=fields[2], size_bytes=len(data))
+
+
+def save_db(db, path: str) -> None:
+    """Checkpoint the encoded serving tensor (+ params) to disk."""
+    p = pathlib.Path(path)
+    np.save(str(p.with_suffix(".npy")), np.asarray(db.data))
+    import dataclasses
+    p.with_suffix(".json").write_text(
+        json.dumps(dataclasses.asdict(db.params)))
+
+
+def load_db(path: str):
+    import jax.numpy as jnp
+    from .server.db import EncodedDb
+    p = pathlib.Path(path)
+    data = np.load(str(p.with_suffix(".npy")))
+    params = Params(**json.loads(p.with_suffix(".json").read_text()))
+    return EncodedDb(data=jnp.asarray(data), params=params)

@@ -27,14 +27,12 @@ def fold_ciphertexts(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
     cur = 0
     while num_per >= 2:
         num_per //= 2
-        lo = cts_coeff[:num_per]
-        hi = cts_coeff[num_per:2 * num_per]
-        ginv_lo = gadget_invert_signed_raw(lo, params.t_gsw, params.n1)
-        ginv_hi = gadget_invert_signed_raw(hi, params.t_gsw, params.n1)
-        gl = eng.forward(ginv_lo)       # (num_per, m2, n2, 2, d)
-        gh = eng.forward(ginv_hi)
-        prod = add_raw(matmul_raw(q_neg[cur], gl),
-                       matmul_raw(q_pos[cur], gh))
+        # one batched decomposition + NTT over both halves
+        ginv = gadget_invert_signed_raw(cts_coeff[:2 * num_per],
+                                        params.t_gsw, params.n1)
+        gn = eng.forward(ginv)          # (2*num_per, m2, n2, 2, d)
+        prod = add_raw(matmul_raw(q_neg[cur], gn[:num_per]),
+                       matmul_raw(q_pos[cur], gn[num_per:]))
         cts_coeff = eng.inverse(prod)
         cur += 1
     return cts_coeff[0]
