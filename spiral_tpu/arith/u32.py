@@ -11,9 +11,12 @@ A "pair" (hi, lo) represents the 64-bit value hi * 2^32 + lo.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+# numpy scalar: a jnp constant here would initialize the device backend at
+# import time (and race the remote-TPU plugin registration)
+MASK16 = np.uint32(0xFFFF)
 
 
 def u32(x):

@@ -49,7 +49,15 @@ def sharded_firstdim_and_fold(params: Params, mesh: Mesh):
     )
     def fdim(db_shard, qk_shard):
         part = matmul_raw(db_shard, qk_shard)   # (num_per, n2, n1, 2, d)
-        return jax.lax.psum(part, "db")
+        tot = jax.lax.psum(part, "db")
+        # per-shard partials are canonical mod p; their sum is < n_dev * p,
+        # which stays inside u32 for n_dev <= 16 — reduce once after psum
+        from ..arith.mod import mod_ctx
+        from ..params import B_I, P_I
+        assert mesh.devices.size <= 16, "reduce per-shard beyond 16 devices"
+        return jnp.stack(
+            [mod_ctx(P_I).reduce_u32(tot[..., 0, :]),
+             mod_ctx(B_I).reduce_u32(tot[..., 1, :])], axis=-2)
 
     def step(db_data, query_k, q_pos, q_neg):
         cts_ntt = fdim(db_data, query_k).transpose(0, 2, 1, 3, 4)
