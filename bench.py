@@ -31,6 +31,32 @@ def main() -> int:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/spiral_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # The remote-TPU tunnel can be transiently down (init then hangs or
+    # errors, and a failed init is sticky in-process) — probe health in a
+    # subprocess and wait up to ~12 minutes before touching the backend here.
+    import subprocess
+
+    def tpu_healthy() -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jnp.arange(2).sum(); "
+                 "print('BACKEND_OK')"],
+                timeout=90, capture_output=True, text=True)
+            return "BACKEND_OK" in r.stdout
+        except subprocess.TimeoutExpired:
+            return False
+
+    deadline = time.time() + 720
+    while not tpu_healthy():
+        if time.time() > deadline:
+            print("backend unhealthy after 12min; trying anyway",
+                  file=sys.stderr, flush=True)
+            break
+        print("waiting for TPU backend...", file=sys.stderr, flush=True)
+        time.sleep(30)
+
     from spiral_tpu.params import preset
     from spiral_tpu.pir import SpiralClient, SpiralServer
     from spiral_tpu.server.db import encode_db_chunked

@@ -53,9 +53,15 @@ def generate_public_params(params: Params, keys: SecretKeys, enc: Encryptor,
     def inner(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         W_exp_left = W_exp_right = []
-        if not (params.direct_upload_first and params.direct_upload_rest):
+        plan = params.expansion_plan()
+        if plan is None:
             g, stop = params.g, params.stopround
             right_rounds = (stop + 1) if stop > 0 else g
+        else:
+            g = max((plan[part]["g"] for part in ("first", "rest")
+                     if not plan[part]["direct"]), default=0)
+            right_rounds = g
+        if g > 0:
             W_exp_left = expansion_keyswitch_matrices(
                 enc, keys, k1, g, params.m_exp, d)
             W_exp_right = expansion_keyswitch_matrices(

@@ -121,24 +121,74 @@ def _const_sigmas_ntt(vals: np.ndarray, d: int):
     return crt_ntt(d).forward(PolyMat.from_host(arr).data)
 
 
+def subround_sigma_polys(params: Params, idx: int) -> np.ndarray:
+    """Sigma polynomials for the general subround upload
+    (ref: src/spiral.cpp:2116-2155, round/subround loop with stopround=0).
+    Returns (n_first_cts + n_rest_cts, d) object ints."""
+    plan = params.expansion_plan()
+    d = params.poly_len
+    idx_dim0 = idx // params.num_per
+    idx_further = idx % params.num_per
+    ell = params.t_gsw
+    bits_per = get_bits_per(ell)
+    out = []
+
+    pf = plan["first"]
+    if pf["direct"]:
+        for j in range(params.dim0):
+            s = np.zeros(d, dtype=object)
+            if j == idx_dim0:
+                s[0] = params.scale_k
+            out.append(s)
+    else:
+        inv = pow(1 << pf["g"], -1, Q)
+        for srd in range(pf["n_cts"]):
+            s = np.zeros(d, dtype=object)
+            if idx_dim0 // pf["bits"] == srd:
+                s[idx_dim0 % pf["bits"]] = (params.scale_k * inv) % Q
+            out.append(s)
+
+    pr = plan["rest"]
+    vals = []
+    for i in range(params.further_dims):
+        bit = (idx_further >> i) & 1
+        for j in range(ell):
+            vals.append(bit << (bits_per * j))
+    if pr["direct"]:
+        for v in vals:
+            s = np.zeros(d, dtype=object)
+            s[0] = v
+            out.append(s)
+    else:
+        inv = pow(1 << pr["g"], -1, Q)
+        for srd in range(pr["n_cts"]):
+            s = np.zeros(d, dtype=object)
+            for ctr, v in enumerate(
+                    vals[srd * pr["bits"]:(srd + 1) * pr["bits"]]):
+                s[ctr] = (v * inv) % Q
+            out.append(s)
+    return np.stack(out)
+
+
 def generate_query(params: Params, enc: Encryptor, key, idx: int) -> Query:
     d = params.poly_len
     seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
     knoise = jax.random.fold_in(key, 1)
+    plan = params.expansion_plan()
 
-    if not params.direct_upload_first:
-        assert not params.direct_upload_rest, \
-            "partial direct upload (subrounds) not supported yet"
+    if plan is None:
+        # single packed ct, stopround interleave
         sigma = PolyMat.from_host(_sigma_poly(params, idx)[None, None, :])
         sig_ntt = sigma.to_ntt().data[None]
         b = encrypt_b_batch(enc, knoise, seed, sig_ntt)
         return Query(seed=seed, packed_b=b,
                      size_bytes=params.bytes_per_poly)
 
-    # SpiralStream: direct upload of every scalar ct (b halves only)
-    sig = stream_sigmas(params, idx)
-    sig_ntt = _const_sigmas_ntt(sig, d)
+    # general subround / direct upload
+    sigs = subround_sigma_polys(params, idx)
+    sig_ntt = crt_ntt(d).forward(
+        PolyMat.from_host(sigs[:, None, None, :]).data)
     b = encrypt_b_batch(enc, knoise, seed, sig_ntt)
-    n_first = params.dim0
+    n_first = plan["first"]["n_cts"]
     return Query(seed=seed, first_b=b[:n_first], gsw_b=b[n_first:],
-                 size_bytes=len(sig) * params.bytes_per_poly)
+                 size_bytes=len(sigs) * params.bytes_per_poly)

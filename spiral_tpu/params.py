@@ -126,6 +126,35 @@ class Params:
     def direct_upload_rest(self) -> bool:
         return self.query_elems_rest >= self.further_dims * self.t_gsw
 
+    def expansion_plan(self):
+        """Subround structure (ref: src/spiral.cpp:2058-2080).
+
+        Returns None for the single-packed-ct path (query_elems_rest == 0,
+        stopround trick).  Otherwise a dict per part with
+        {direct: bool, n_cts: int, g: int, bits: int}: the client uploads
+        n_cts scalar cts; non-direct parts expand each ct into 2^g slots
+        of which `bits` are used.
+        """
+        if self.query_elems_rest == 0:
+            return None
+        ell_total = self.t_gsw * self.further_dims
+        qe_f = max(1, self.query_elems_first)
+        qe_r = self.query_elems_rest
+
+        def part(direct, total, qe):
+            if direct:
+                return {"direct": True, "n_cts": total, "g": 0,
+                        "bits": total}
+            assert total % qe == 0, (total, qe)
+            bits = total // qe
+            return {"direct": False, "n_cts": qe,
+                    "g": max(1, math.ceil(math.log2(bits))), "bits": bits}
+
+        return {
+            "first": part(qe_f >= self.dim0, self.dim0, qe_f),
+            "rest": part(qe_r >= ell_total, ell_total, qe_r),
+        }
+
     @property
     def g(self) -> int:
         """Expansion rounds (ref: src/spiral.cpp:2078-2080)."""
@@ -146,14 +175,14 @@ class Params:
         return self.poly_len * LOG_Q // 8
 
     def query_size_bytes(self) -> int:
-        """Online query size (ref: src/spiral.cpp:219-228)."""
-        qe_first = max(1, self.query_elems_first)
-        qe_rest = self.query_elems_rest
-        if self.direct_upload_first:
-            qe_first = self.dim0
-        if self.direct_upload_rest:
-            qe_rest = self.further_dims * self.t_gsw
-        return (qe_first + qe_rest) * self.n0 * self.bytes_per_poly
+        """Online query size: one seed-compressed polynomial per uploaded
+        scalar ct (matches the reference's reported sizes, e.g.
+        exp_lut.json query_sz = 14,336 B for the packed query)."""
+        plan = self.expansion_plan()
+        if plan is None:
+            return self.bytes_per_poly
+        return (plan["first"]["n_cts"] + plan["rest"]["n_cts"]) * \
+            self.bytes_per_poly
 
     def response_size_bytes(self) -> int:
         """Two-modulus modswitched response (ref: src/spiral.cpp:230-234)."""
@@ -194,6 +223,10 @@ PRESETS = {
     "tiny_stream": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                           t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
                           query_elems_first=4, query_elems_rest=16),
+    "tiny_subround": Params(nu_1=3, nu_2=2, p_db=256, q_prime_bits=20,
+                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=8,
+                            poly_len=256, query_elems_first=2,
+                            query_elems_rest=4),
     "tiny_pack": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                         t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
                         out_n=2),

@@ -134,9 +134,26 @@ class SpiralServer:
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
 
         def reconstruct_direct(seed, first_b, gsw_b):
+            """Subround-aware reconstruction + per-part expansion
+            (ref: src/spiral.cpp:2058-2177)."""
+            plan = p.expansion_plan()
             b = jnp.concatenate([first_b, gsw_b], axis=0)
             cts = reconstruct_cts(seed, b)
-            return cts[:p.dim0], cts[p.dim0:]
+            n_first = plan["first"]["n_cts"]
+            parts = []
+            for part, sl in (("first", cts[:n_first]),
+                             ("rest", cts[n_first:])):
+                pp = plan[part]
+                if pp["direct"]:
+                    parts.append(sl)
+                    continue
+                g = pp["g"]
+                ex = jax.vmap(lambda c: coefficient_expansion(
+                    c, g, [w.data for w in pub.W_exp_left][:g],
+                    [w.data for w in pub.W_exp_right][:g], p))(sl)
+                parts.append(ex[:, :pp["bits"]].reshape(
+                    (-1,) + sl.shape[1:]))
+            return parts[0], parts[1]
 
         self._stage_expand = jax.jit(expand)
         self._stage_reconstruct = jax.jit(reconstruct_direct)
