@@ -70,22 +70,32 @@ def main() -> int:
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
+    pack = "pack" in args.preset
 
     t0 = time.time()
-    client = SpiralClient(params, seed=1, nonoise=args.nonoise)
+    if pack:
+        from spiral_tpu.pack import PackClient, PackServer, encode_pack_db
+        client = PackClient(params, seed=1, nonoise=args.nonoise)
+    else:
+        client = SpiralClient(params, seed=1, nonoise=args.nonoise)
     pub = client.setup()
-    jax.block_until_ready(pub.W_conv.data)
     log(f"setup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    pts = rng.integers(0, params.p_db,
-                       size=(params.total_n, params.n0, params.n2, d),
-                       dtype=np.int16)
-    db = encode_db_chunked(pts, params)
+    if pack:
+        pts = rng.integers(0, params.p_db, size=(
+            params.total_n, params.out_n, params.out_n, d), dtype=np.int16)
+        db = encode_pack_db(pts, params)
+        server = PackServer(params, db, pub)
+    else:
+        pts = rng.integers(0, params.p_db,
+                           size=(params.total_n, params.n0, params.n2, d),
+                           dtype=np.int16)
+        db = encode_db_chunked(pts, params)
+        server = SpiralServer(params, db, pub)
     db.data.block_until_ready()
     log(f"db encode: {time.time() - t0:.1f}s")
 
-    server = SpiralServer(params, db, pub)
     idx = int(rng.integers(0, params.total_n))
     query = client.query(idx)
 
@@ -112,7 +122,8 @@ def main() -> int:
         f"fold={stages.folding_us:.0f}us")
 
     pt_bits = int(np.log2(params.p_db))
-    db_bytes = params.total_n * params.n0 * params.n2 * d * pt_bits // 8
+    pt_polys = params.out_n ** 2 if pack else params.n0 * params.n2
+    db_bytes = params.total_n * pt_polys * d * pt_bits // 8
     throughput = db_bytes / best_s / 1e6
     result = {
         "metric": "spiral_server_throughput",

@@ -141,13 +141,15 @@ class FourStepNtt:
             preferred_element_type=jnp.int32)  # (..., X, N*4)
         N = Wl.shape[1] // N_LIMBS
         v = out.reshape(out.shape[:-1] + (N, N_LIMBS))
-        acc = None
-        for i in range(N_LIMBS):
-            r = self.ctx.reduce_u32(v[..., i].astype(jnp.uint32))
-            r = self.ctx.mul_shoup(r, jnp.uint32(int(self._rw[i])),
-                                   jnp.uint32(int(self._rw_shoup[i])))
-            acc = r if acc is None else self.ctx.add(acc, r)
-        return acc
+        # pair adjacent limbs in s32 first: o_i <= 4K*127^2 (K <= 64), so
+        # o_0 + o_1*2^7 < 2^31 — two Barrett passes instead of four
+        s01 = v[..., 0] + (v[..., 1] << 7)
+        s23 = v[..., 2] + (v[..., 3] << 7)
+        r01 = self.ctx.reduce_u32(s01.astype(jnp.uint32))
+        r23 = self.ctx.reduce_u32(s23.astype(jnp.uint32))
+        r23 = self.ctx.mul_shoup(r23, jnp.uint32(int(self._rw[2])),
+                                 jnp.uint32(int(self._rw_shoup[2])))
+        return self.ctx.add(r01, r23)
 
     def forward(self, x):
         d1, d2 = self.d1, self.d2
