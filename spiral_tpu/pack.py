@@ -270,6 +270,13 @@ class PackServer:
         self._gadget_ntt = build_gadget(
             2, 2 * params.t_gsw, d).to_ntt().data
         self._eng = crt_ntt(d)
+        # int8 limb layout for the MXU first-dim kernel: fold the trial
+        # axis into the output dimension
+        from .server.firstdim import db_to_mxu_limbs
+        T, num_per = db.data.shape[0], db.data.shape[1]
+        self._trials, self._num_per = T, num_per
+        self._db_limbs = db_to_mxu_limbs(
+            db.data.reshape(T * num_per, 1, params.dim0, 2, d))
         self._build_stages()
 
     def _build_stages(self):
@@ -312,10 +319,14 @@ class PackServer:
             q_neg = sub_raw(jnp.broadcast_to(gadget_ntt, q_pos.shape), q_pos)
             return q_pos, q_neg
 
-        def fdim(db_data, first):
+        def fdim(db_limbs, first):
+            from .server.firstdim import multiply_query_by_db_mxu
             qk = first[:, :, 0]            # (K=dim0, C=ct rows, 2, d)
-            out = matmul_raw(db_data, qk)  # (T, num_per, 1, 2, 2, d)
-            return eng.inverse(out.transpose(0, 1, 3, 2, 4, 5))
+            res = multiply_query_by_db_mxu(db_limbs, qk)  # (2, d, 2, T*np)
+            T, npr = self._trials, self._num_per
+            v = res.reshape(2, p.poly_len, 2, T, npr)
+            cts_ntt = v.transpose(3, 4, 2, 0, 1)[:, :, :, None]
+            return eng.inverse(cts_ntt)
 
         def fold(cts_coeff, q_pos, q_neg):
             return fold_pack(cts_coeff, q_pos, q_neg, p)
@@ -357,7 +368,7 @@ class PackServer:
         t2 = time.perf_counter()
         timings.conversion_us = (t2 - t1) * 1e6
 
-        cts_coeff = self._stage_fdim(self.db.data, first)
+        cts_coeff = self._stage_fdim(self._db_limbs, first)
         cts_coeff.block_until_ready()
         t3 = time.perf_counter()
         timings.first_multiply_us = (t3 - t2) * 1e6
@@ -385,7 +396,7 @@ class PackServer:
                 first, gsw_cts = self._stage_reconstruct(
                     seed, query.first_b, query.gsw_b)
                 q_pos, q_neg = self._stage_conv_direct(gsw_cts)
-            cts = self._stage_fdim(self.db.data, first)
+            cts = self._stage_fdim(self._db_limbs, first)
             return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
 
         run().block_until_ready()          # warm/compile
