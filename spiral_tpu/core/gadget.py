@@ -56,8 +56,13 @@ def _digits_unsigned(hi, lo, num_elems: int, bits_per: int):
     return out
 
 
-def _digit_to_residues(piece):
-    """u32 digit (< 2^30) -> canonical residue pair, stacked on axis -2."""
+def _digit_to_residues(piece, bits_per: int):
+    """u32 digit -> canonical residue pair, stacked on axis -2.
+
+    Digits are < 2^bits_per; when that's below both moduli (bits_per < 28)
+    the digit IS its own residue — no reduction needed."""
+    if bits_per < 28:
+        return jnp.stack([piece, piece], axis=-2)
     return jnp.stack(
         [mod_ctx(p).reduce_u32(piece) for p in MODS], axis=-2)
 
@@ -80,7 +85,7 @@ def gadget_invert_raw(x, mx: int, rdim: int):
     digs = _digits_unsigned(hi, lo, num_elems, bits_per)
     # rows ordered k-major blocks of rdim: row j + k*rdim
     rows = jnp.concatenate(
-        [_digit_to_residues(dg) for dg in digs], axis=-4)
+        [_digit_to_residues(dg, bits_per) for dg in digs], axis=-4)
     return rows
 
 
@@ -119,10 +124,11 @@ def gadget_invert_signed_raw(x, num_elems: int, rdim: int):
             else:
                 do_sign = piece > half_z
             carry = do_sign.astype(jnp.uint32)
+            small = bits_per + 1 < 28  # piece <= z + 1 < both moduli
             limbs = []
             for li, p in enumerate(MODS):
                 ctx = mod_ctx(p)
-                r = ctx.reduce_u32(piece)
+                r = piece if small else ctx.reduce_u32(piece)
                 limbs.append(jnp.where(do_sign, ctx.add(r, corr[li]), r))
             out_rows[k] = jnp.stack(limbs, axis=-2)
     # row layout j + k*rdim over the input's rdim axis
