@@ -89,8 +89,12 @@ def crt_ntt(d: int):
     engine must be used for all ring data in a process."""
     import os
     if d not in _crt_ntt_cache:
-        if os.environ.get("SPIRAL_NTT", "mxu") == "stockham":
+        engine = os.environ.get("SPIRAL_NTT", "mxu")
+        if engine == "stockham":
             _crt_ntt_cache[d] = CrtNtt(d)
+        elif engine == "pallas":
+            from .ntt_pallas import CrtNttPallas
+            _crt_ntt_cache[d] = CrtNttPallas(d)
         else:
             from .ntt_mxu import CrtNttMxu
             _crt_ntt_cache[d] = CrtNttMxu(d)
