@@ -136,5 +136,12 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
     if max_query_bytes is not None and \
             params.query_size_bytes() > max_query_bytes:
         return None
+    # prefer a measured TPU LUT entry over the analytic proxy
+    from .build_lut import load_lut, lut_key
+    entry = load_lut().get(lut_key(params))
+    if entry and entry.get("is_corr"):
+        cost = entry["server_s"]
+    else:
+        cost = tpu_cost_proxy(params, pack)
     return Selected(params=params, factor=factor, p_err_bits=pe,
-                    cost=tpu_cost_proxy(params, pack) * factor)
+                    cost=cost * factor)
