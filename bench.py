@@ -23,6 +23,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="spiral_20_256")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--implicit", action="store_true",
+                    help="implicit random working-set DB (ref --random-data)"
+                         ": huge-DB throughput timing, correctness unchecked")
+    ap.add_argument("--slab-bytes", type=int, default=2 << 30)
     ap.add_argument("--nonoise", action="store_true",
                     help="skip noise sampling in client ops (debug only)")
     ap.add_argument("--verbose", action="store_true")
@@ -87,13 +91,21 @@ def main() -> int:
             params.total_n, params.out_n, params.out_n, d), dtype=np.int16)
         db = encode_pack_db(pts, params)
         server = PackServer(params, db, pub)
+        db.data.block_until_ready()
+    elif args.implicit:
+        from spiral_tpu.server.db import random_implicit_db
+        pts = None
+        db = random_implicit_db(params, rng, max_slab_bytes=args.slab_bytes)
+        server = SpiralServer(params, db, pub)
+        db.slab_limbs.block_until_ready()
+        log(f"implicit DB: slab_per={db.slab_per} chunks={db.num_chunks}")
     else:
         pts = rng.integers(0, params.p_db,
                            size=(params.total_n, params.n0, params.n2, d),
                            dtype=np.int16)
         db = encode_db_chunked(pts, params)
         server = SpiralServer(params, db, pub)
-    db.data.block_until_ready()
+        db.data.block_until_ready()
     log(f"db encode: {time.time() - t0:.1f}s")
 
     idx = int(rng.integers(0, params.total_n))
@@ -104,8 +116,11 @@ def main() -> int:
     resp, fused_s = server.process_query_fused(query)
     log(f"warmup+first fused: {time.time() - t0:.1f}s "
         f"(fused device time {fused_s:.3f}s)")
-    out = client.decode(resp)
-    correct = bool(np.array_equal(out, pts[idx].astype(object)))
+    if pts is None:
+        correct = None   # implicit mode: random slab, nothing to check
+    else:
+        out = client.decode(resp)
+        correct = bool(np.array_equal(out, pts[idx].astype(object)))
     log(f"correct: {correct}")
 
     best_s = fused_s
@@ -145,7 +160,7 @@ def main() -> int:
         },
     }
     print(json.dumps(result))
-    return 0 if correct else 1
+    return 0 if correct is not False else 1
 
 
 if __name__ == "__main__":

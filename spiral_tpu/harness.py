@@ -1,10 +1,21 @@
 """Figure/benchmark harness (ref: run_all.py / run_scheme.py).
 
-Runs the four scheme variants end-to-end on a scenario, asserts
-correctness for every cell (ref: run_all.py check_corr), and prints the
-packingcomp-style comparison table plus machine-readable JSON.
+Figures:
+    packingcomp   four-variant comparison on one scenario (the paper's
+                  key table; ref: run_all.py:43-55)
+    table         main-comparison row for Spiral/SpiralStream incl.
+                  server-cost USD (ref: run_all.py scenarios_table/get_cost)
+    ubench        per-stage microbenchmark breakdown incl. client stages
+                  (ref: run_all.py scenarios_ubench / print_summary taxonomy)
+    asympcomp     scaling over logN at fixed itemsize (ref: run_all.py:17-19)
+    streaming     huge-DB throughput via the implicit working set
+                  (ref: run_all.py scenarios_streaming + --random-data)
 
-    python -m spiral_tpu.harness packingcomp [--scenario 20 256] [--tiny]
+Every explicit-DB cell asserts correctness (ref: run_all.py check_corr).
+
+    python -m spiral_tpu.harness packingcomp [--tiny] [--trials N]
+    python -m spiral_tpu.harness ubench --preset spiral_20_256
+    python -m spiral_tpu.harness streaming --logns 24,26,28
 """
 from __future__ import annotations
 
@@ -18,41 +29,18 @@ import numpy as np
 
 VARIANTS = ("spiral", "spiralstream", "spiralpack", "spiralstreampack")
 
+# Server cost accounting (ref: run_all.py:71-72).  usd_per_us is one
+# TPU v5e chip on-demand (~$1.20/hr); usd_per_byte is the reference's
+# egress price.
+USD_PER_US = 1.20 / 3600e6
+USD_PER_BYTE = 9e-11
 
-def run_variant(name: str, params, rng, trials: int = 1) -> dict:
-    from .params import Params
-    pack = "pack" in name
-    idx = int(rng.integers(0, params.total_n))
-    t_setup0 = time.time()
-    if pack:
-        from .pack import PackClient, PackServer, encode_pack_db
-        client = PackClient(params, seed=1)
-        pub = client.setup()
-        pts = rng.integers(0, params.p_db, size=(
-            params.total_n, params.out_n, params.out_n, params.poly_len),
-            dtype=np.int16)
-        server = PackServer(params, encode_pack_db(pts, params), pub)
-        want = pts[idx].astype(object)
-    else:
-        from .pir import SpiralClient, SpiralServer
-        from .server.db import encode_db_chunked
-        client = SpiralClient(params, seed=1)
-        pub = client.setup()
-        pts = rng.integers(0, params.p_db, size=(
-            params.total_n, params.n0, params.n2, params.poly_len),
-            dtype=np.int16)
-        server = SpiralServer(params, encode_db_chunked(pts, params), pub)
-        want = pts[idx].astype(object)
-    setup_s = time.time() - t_setup0
 
-    query = client.query(idx)
-    best = None
-    for _ in range(max(1, trials)):
-        resp, server_s = server.process_query_fused(query)
-        best = server_s if best is None else min(best, server_s)
-    out = client.decode(resp)
-    correct = bool(np.array_equal(out, want))
+def get_cost(total_us: float, resp_bytes: int) -> float:
+    return USD_PER_US * total_us + USD_PER_BYTE * resp_bytes
 
+
+def _item_resp_bytes(params, pack: bool):
     logp = int(math.log2(params.p_db))
     if pack:
         item_b = params.out_n ** 2 * params.poly_len * logp // 8
@@ -62,8 +50,54 @@ def run_variant(name: str, params, rng, trials: int = 1) -> dict:
     else:
         item_b = params.n0 * params.n2 * params.poly_len * logp // 8
         resp_b = params.response_size_bytes()
+    return item_b, resp_b
+
+
+def run_variant(name: str, params, rng, trials: int = 1,
+                want_stages: bool = False) -> dict:
+    pack = "pack" in name
+    idx = int(rng.integers(0, params.total_n))
+    t_setup0 = time.time()
+    if pack:
+        from .pack import PackClient, PackServer, encode_pack_db
+        client = PackClient(params, seed=1)
+        t_kg0 = time.time()
+        pub = client.setup()
+        key_gen_s = time.time() - t_kg0
+        pts = rng.integers(0, params.p_db, size=(
+            params.total_n, params.out_n, params.out_n, params.poly_len),
+            dtype=np.int16)
+        server = PackServer(params, encode_pack_db(pts, params), pub)
+        want = pts[idx].astype(object)
+    else:
+        from .pir import SpiralClient, SpiralServer
+        from .server.db import encode_db_chunked
+        client = SpiralClient(params, seed=1)
+        t_kg0 = time.time()
+        pub = client.setup()
+        key_gen_s = time.time() - t_kg0
+        pts = rng.integers(0, params.p_db, size=(
+            params.total_n, params.n0, params.n2, params.poly_len),
+            dtype=np.int16)
+        server = SpiralServer(params, encode_db_chunked(pts, params), pub)
+        want = pts[idx].astype(object)
+    setup_s = time.time() - t_setup0
+
+    t_qg0 = time.time()
+    query = client.query(idx)
+    query_gen_s = time.time() - t_qg0
+    best = None
+    for _ in range(max(1, trials)):
+        resp, server_s = server.process_query_fused(query)
+        best = server_s if best is None else min(best, server_s)
+    t_dec0 = time.time()
+    out = client.decode(resp)
+    decoding_s = time.time() - t_dec0
+    correct = bool(np.array_equal(out, want))
+
+    item_b, resp_b = _item_resp_bytes(params, pack)
     db_b = params.total_n * item_b
-    return {
+    row = {
         "variant": name,
         "correct": correct,
         "query_b": query.size_bytes,
@@ -72,7 +106,54 @@ def run_variant(name: str, params, rng, trials: int = 1) -> dict:
         "rate": round(item_b / resp_b, 4),
         "server_s": round(best, 4),
         "tput_MB_s": round(db_b / best / 1e6, 1),
+        "cost_usd": round(get_cost(best * 1e6, resp_b), 9),
         "setup_s": round(setup_s, 1),
+    }
+    if want_stages:
+        _, st = server.process_query(query)
+        row["stages_us"] = {
+            "key_gen": round(key_gen_s * 1e6),
+            "query_gen": round(query_gen_s * 1e6),
+            "expansion": round(st.expansion_us),
+            "composition": round(st.composition_us),
+            "conversion": round(st.conversion_us),
+            "first_dim": round(st.first_multiply_us),
+            "folding": round(st.folding_us),
+            "packing": round(st.packing_us),
+            "modswitch": round(st.modswitch_us),
+            "decoding": round(decoding_s * 1e6),
+        }
+    return row
+
+
+def run_streaming_cell(preset_name: str, trials: int,
+                       slab_bytes: int) -> dict:
+    """Implicit-DB throughput cell (timing only; ref --random-data)."""
+    from .params import preset
+    from .pir import SpiralClient, SpiralServer
+    from .server.db import random_implicit_db
+
+    params = preset(preset_name)
+    rng = np.random.default_rng(0)
+    client = SpiralClient(params, seed=1)
+    pub = client.setup()
+    db = random_implicit_db(params, rng, max_slab_bytes=slab_bytes)
+    server = SpiralServer(params, db, pub)
+    query = client.query(0)
+    best = None
+    for _ in range(max(1, trials)):
+        _, s = server.process_query_fused(query)
+        best = s if best is None else min(best, s)
+    item_b, resp_b = _item_resp_bytes(params, False)
+    db_b = params.total_n * item_b
+    return {
+        "preset": preset_name,
+        "log_records": params.nu_1 + params.nu_2,
+        "db_MB": round(db_b / 1e6),
+        "slab_per": db.slab_per,
+        "chunks": db.num_chunks,
+        "server_s": round(best, 4),
+        "tput_MB_s": round(db_b / best / 1e6, 1),
     }
 
 
@@ -93,18 +174,16 @@ def scenario_params(tiny: bool):
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("figure", nargs="?", default="packingcomp")
-    ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--variants", default=",".join(VARIANTS))
-    ap.add_argument("--trials", type=int, default=1)
-    args = ap.parse_args()
+def _print_rows(rows, hdr):
+    widths = [max(len(h), 18) for h in hdr]
+    print("  ".join(h.ljust(w) for h, w in zip(hdr, widths)),
+          file=sys.stderr)
+    for r in rows:
+        print("  ".join(str(r.get(h, "-")).ljust(w)
+                        for h, w in zip(hdr, widths)), file=sys.stderr)
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/spiral_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def fig_packingcomp(args) -> list:
     rng = np.random.default_rng(0)
     rows = []
     for name in args.variants.split(","):
@@ -112,15 +191,92 @@ def main() -> int:
         print(f"running {name}...", file=sys.stderr, flush=True)
         rows.append(run_variant(name, params, rng, args.trials))
         assert rows[-1]["correct"], f"{name} returned a wrong record"
+    _print_rows(rows, ("variant", "query_b", "pub_b", "resp_b", "rate",
+                       "server_s", "tput_MB_s", "cost_usd"))
+    return rows
 
-    hdr = ("variant", "query_b", "pub_b", "resp_b", "rate", "server_s",
-           "tput_MB_s")
-    widths = [max(len(h), 18) for h in hdr]
-    line = "  ".join(h.ljust(w) for h, w in zip(hdr, widths))
-    print(line, file=sys.stderr)
+
+def fig_table(args) -> list:
+    rows = fig_packingcomp(args)
     for r in rows:
-        print("  ".join(str(r[h]).ljust(w) for h, w in zip(hdr, widths)),
-              file=sys.stderr)
+        r["scenario"] = "tiny" if args.tiny else "(20, 256)"
+    return rows
+
+
+def fig_ubench(args) -> list:
+    from .params import preset
+    rng = np.random.default_rng(0)
+    name = args.preset or ("tiny" if args.tiny else "spiral_20_256")
+    variant = "spiralpack" if "pack" in name else "spiral"
+    row = run_variant(variant, preset(name), rng, args.trials,
+                      want_stages=True)
+    assert row["correct"]
+    print(json.dumps(row["stages_us"], indent=2), file=sys.stderr)
+    return [row]
+
+
+def fig_asympcomp(args) -> list:
+    """Spiral at increasing logN, fixed 256 B items (explicit DBs)."""
+    from .params import Params
+    rng = np.random.default_rng(0)
+    rows = []
+    for log_rec in (6, 8, 10, 12, 14) if args.tiny else (11, 13, 15):
+        nu_1 = (log_rec + 1) // 2
+        nu_2 = log_rec - nu_1
+        p = Params(nu_1=nu_1, nu_2=nu_2, p_db=256, q_prime_bits=20,
+                   t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56,
+                   poly_len=256 if args.tiny else 2048)
+        print(f"asympcomp log_records={log_rec}...", file=sys.stderr,
+              flush=True)
+        row = run_variant("spiral", p, rng, args.trials)
+        assert row["correct"]
+        row["log_records"] = log_rec
+        rows.append(row)
+    _print_rows(rows, ("log_records", "rate", "server_s", "tput_MB_s"))
+    return rows
+
+
+def fig_streaming(args) -> list:
+    rows = []
+    for logn in (int(x) for x in args.logns.split(",")):
+        preset_name = f"spiral_{logn}_256"
+        if logn == 20:
+            preset_name = "spiral_20_256"
+        print(f"streaming 2^{logn} x 256 B (implicit)...", file=sys.stderr,
+              flush=True)
+        rows.append(run_streaming_cell(preset_name, args.trials,
+                                       args.slab_bytes))
+    _print_rows(rows, ("preset", "log_records", "db_MB", "chunks",
+                       "server_s", "tput_MB_s"))
+    return rows
+
+
+FIGURES = {
+    "packingcomp": fig_packingcomp,
+    "table": fig_table,
+    "ubench": fig_ubench,
+    "asympcomp": fig_asympcomp,
+    "streaming": fig_streaming,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("figure", nargs="?", default="packingcomp",
+                    choices=sorted(FIGURES))
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--preset", default=None)
+    ap.add_argument("--logns", default="24,26,28")
+    ap.add_argument("--slab-bytes", type=int, default=2 << 30)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spiral_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rows = FIGURES[args.figure](args)
     print(json.dumps(rows))
     return 0
 

@@ -217,6 +217,16 @@ PRESETS = {
                                       t_exp=56, t_exp_right=56, out_n=4,
                                       query_elems_first=1 << 10,
                                       query_elems_rest=3 * 2),
+    # Huge-database timing configs (implicit working-set mode, ref:
+    # --random-data): 2^26 / 2^28 x 256 B items = 2^21 / 2^23 records.
+    "spiral_22_256": Params(nu_1=9, nu_2=8, p_db=256, q_prime_bits=20,
+                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
+    "spiral_24_256": Params(nu_1=10, nu_2=9, p_db=256, q_prime_bits=20,
+                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
+    "spiral_26_256": Params(nu_1=10, nu_2=11, p_db=256, q_prime_bits=20,
+                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
+    "spiral_28_256": Params(nu_1=11, nu_2=12, p_db=256, q_prime_bits=20,
+                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
     # small/fast configs for tests
     "tiny": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                    t_conv=4, t_exp=8, t_exp_right=8, poly_len=256),

@@ -25,10 +25,11 @@ from .crypto.publicparams import PublicParams, generate_public_params
 from .crypto.query import Query, generate_query, reconstruct_cts
 from .crypto.decode import (Response, decode_response,
                             modswitch_response_from_residues)
-from .server.db import EncodedDb, encode_db
+from .server.db import EncodedDb, ImplicitDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
 from .server.firstdim import (db_to_mxu_limbs, finish_mxu_output,
+                              multiply_query_by_db_implicit,
                               multiply_query_by_db_mxu, reorient_query)
 from .server.fold import fold_ciphertexts
 
@@ -84,7 +85,8 @@ class SpiralServer:
     instance), so a query is a handful of device dispatches instead of
     hundreds of eager ops — essential for TPU latency."""
 
-    def __init__(self, params: Params, db: EncodedDb, pub: PublicParams):
+    def __init__(self, params: Params, db: EncodedDb | ImplicitDb,
+                 pub: PublicParams):
         self.params = params
         self.db = db
         self.pub = pub
@@ -92,7 +94,12 @@ class SpiralServer:
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
         # int8 limb layout for the MXU first-dim kernel
-        self._db_limbs = db_to_mxu_limbs(db.data)
+        if isinstance(db, ImplicitDb):
+            self._implicit_chunks = db.num_chunks
+            self._db_limbs = db.slab_limbs
+        else:
+            self._implicit_chunks = 0
+            self._db_limbs = db_to_mxu_limbs(db.data)
         self._build_stages()
 
     def _build_stages(self):
@@ -124,9 +131,14 @@ class SpiralServer:
             q_neg = sub_raw(jnp.broadcast_to(g2, q_pos.shape), q_pos)
             return q_pos, q_neg
 
+        n_chunks = self._implicit_chunks
+
         def fdim(db_limbs, C_reg):
             qk = reorient_query(C_reg)
-            res = multiply_query_by_db_mxu(db_limbs, qk)
+            if n_chunks:
+                res = multiply_query_by_db_implicit(db_limbs, qk, n_chunks)
+            else:
+                res = multiply_query_by_db_mxu(db_limbs, qk)
             cts_ntt = finish_mxu_output(res, p.num_per, p.n2)
             return eng.inverse(cts_ntt)
 

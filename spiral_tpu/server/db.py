@@ -64,6 +64,42 @@ def encode_db_chunked(pts: np.ndarray, params: Params,
     return EncodedDb(data=out, params=params)
 
 
+@dataclasses.dataclass
+class ImplicitDb:
+    """Implicit huge-database mode (ref: src/spiral.cpp:1032-1081
+    dummyWorkingSet / --random-data): a random slab covering `slab_per`
+    first-dim rows is streamed `num_chunks` times by the first-dim kernel,
+    so timing matches a real `num_per = slab_per * num_chunks` database
+    without materialising it.  Correctness is intentionally unchecked in
+    this mode (ref: exp_lut.json is_corr=false entries)."""
+    slab_limbs: jnp.ndarray   # (2, d, K, slab_per*n2*4) int8, MXU layout
+    slab_per: int
+    num_chunks: int
+    params: Params
+
+
+def random_implicit_db(params: Params, rng: np.random.Generator,
+                       max_slab_bytes: int = 2 << 30) -> ImplicitDb:
+    """Build the random working-set slab directly in NTT-domain residues
+    (uniform mod p — the NTT of a uniform DB is uniform), sized to fit
+    `max_slab_bytes` of int8 MXU limbs."""
+    from .firstdim import db_to_mxu_limbs
+
+    num_per, n2, d = params.num_per, params.n2, params.poly_len
+    K = params.dim0 * params.n0
+    row_bytes = n2 * K * 2 * d * 4            # int8 limbs per first-dim row
+    slab_per = max(1, min(num_per, max_slab_bytes // row_bytes))
+    while num_per % slab_per != 0:
+        slab_per -= 1
+    data = np.stack([
+        rng.integers(0, P_I, size=(slab_per, n2, K, d), dtype=np.uint64),
+        rng.integers(0, B_I, size=(slab_per, n2, K, d), dtype=np.uint64),
+    ], axis=-2).astype(np.uint32)
+    slab_limbs = db_to_mxu_limbs(jnp.asarray(data))
+    return ImplicitDb(slab_limbs=slab_limbs, slab_per=slab_per,
+                      num_chunks=num_per // slab_per, params=params)
+
+
 def encode_db(pts: np.ndarray, params: Params) -> EncodedDb:
     """Center mod p, lift to residues, NTT, reorder to the serving layout."""
     p_db = params.p_db
