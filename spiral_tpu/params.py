@@ -184,6 +184,27 @@ class Params:
         return (plan["first"]["n_cts"] + plan["rest"]["n_cts"]) * \
             self.bytes_per_poly
 
+    def public_param_size_bytes(self) -> int:
+        """Offline public-parameter bytes (matches the accounting in
+        crypto/publicparams.py; ref: add_pub_param at src/spiral.cpp
+        runConversionImproved)."""
+        per = self.poly_len * LOG_Q // 8
+        size = self.n1 * self.n0 * self.m_conv * per          # W_conv
+        plan = self.expansion_plan()
+        if plan is None:
+            g = self.g
+            right = (self.stopround + 1) if self.stopround > 0 else g
+        else:
+            g = max((plan[part]["g"] for part in ("first", "rest")
+                     if not plan[part]["direct"]), default=0)
+            right = g
+        if g > 0:
+            size += g * self.base_dim * self.m_exp * per      # W_exp_left
+            size += right * self.base_dim * self.m_exp_right * per
+        if not self.direct_upload_rest:
+            size += self.n1 * 2 * self.m_conv * per           # V
+        return size
+
     def response_size_bytes(self) -> int:
         """Two-modulus modswitched response (ref: src/spiral.cpp:230-234)."""
         pt_mod = math.log2(self.p_db)

@@ -58,6 +58,8 @@ def main() -> int:
         "resp_sz": resp_b,
         "item_sz": item_b,
         "rate": round(item_b / resp_b, 4),
+        "param_sz": p.public_param_size_bytes(),
+        "dbsize": (1 << args.logN) * args.itemsize,
     }
     if not args.dry_run:
         import numpy as np
