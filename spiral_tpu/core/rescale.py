@@ -25,6 +25,54 @@ def rescale_array(v: np.ndarray, in_mod: int, out_mod: int) -> np.ndarray:
     return (result % out_mod).astype(object)
 
 
+def rescale_residues_device(x_p, x_b, out_mod: int):
+    """On-device exact rescale Q -> out_mod of CRT residue arrays.
+
+    x_p/x_b: u32 arrays (values mod p_i / b_i).  Returns u32 array of
+    round(v * out_mod / Q) mod out_mod, bit-identical to the host
+    rescale_array path (Q is odd, so round-to-nearest never ties and
+    floor((v*c + Q//2) / Q) is exact; ref: src/poly.cpp:578-601).
+
+    All arithmetic is u32 multiword: N = v*c + Q//2 as three 32-bit words,
+    then floor(N / Q) by binary search over the <= 2^22-bit quotient
+    (22 fused compare/select steps — the response is only n1*n2*d
+    coefficients, so this costs microseconds on the VPU).
+    """
+    import jax.numpy as jnp
+
+    from ..arith.crt import lift_pair
+    from ..arith.u32 import mul32_wide
+
+    c = int(out_mod)
+    assert c < (1 << 22)
+    hi, lo = lift_pair(x_p, x_b)                   # v < Q < 2^56
+    cc = jnp.uint32(c)
+    h1, w0 = mul32_wide(lo, cc)
+    h2, l2 = mul32_wide(hi, cc)
+    w1 = h1 + l2
+    w2 = h2 + (w1 < h1).astype(jnp.uint32)
+    half = Q // 2
+    hl, hh = jnp.uint32(half & 0xFFFFFFFF), jnp.uint32(half >> 32)
+    nw0 = w0 + hl
+    carry = (nw0 < w0).astype(jnp.uint32)
+    nw1 = w1 + hh + carry
+    carry2 = ((nw1 < w1) | ((nw1 == w1) & (carry > 0))).astype(jnp.uint32)
+    nw2 = w2 + carry2
+
+    Ql, Qh = jnp.uint32(Q & 0xFFFFFFFF), jnp.uint32(Q >> 32)
+    y = jnp.zeros_like(x_p)
+    for bit in range(21, -1, -1):
+        cand = y | jnp.uint32(1 << bit)
+        p0h, p0l = mul32_wide(cand, Ql)
+        p1h, p1l = mul32_wide(cand, Qh)
+        P1 = p0h + p1l
+        P2 = p1h + (P1 < p0h).astype(jnp.uint32)
+        le = ((P2 < nw2) | ((P2 == nw2) &
+                            ((P1 < nw1) | ((P1 == nw1) & (p0l <= nw0)))))
+        y = jnp.where(le, cand, y)
+    return jnp.where(y >= cc, y - cc, y)
+
+
 def pack_bits(vals: np.ndarray, bit_width: int) -> bytes:
     """Serialize values at bit_width bits each (ref: core.cpp:32-52)."""
     acc = 0

@@ -61,6 +61,29 @@ def modswitch_response_from_residues(final_np: np.ndarray,
     )
 
 
+def modswitch_device(final, params: Params):
+    """On-device two-modulus modswitch of the folded ct.
+
+    final: (rows, cols, 2, d) u32 residue tensor (device).  Returns
+    (first_row, rest_rows) u32 device arrays — jit this as the last
+    server stage so modswitch time is part of the measured server compute
+    (as in the reference's time_modswitch; ref: src/spiral.cpp:40-78).
+    Bit-identical to modswitch_response_from_residues.
+    """
+    from ..core.rescale import rescale_residues_device
+    first = rescale_residues_device(
+        final[:1, :, 0, :], final[:1, :, 1, :], params.arb_qprime)
+    rest = rescale_residues_device(
+        final[1:, :, 0, :], final[1:, :, 1, :], 4 * params.p_db)
+    return first, rest
+
+
+def response_from_device_rows(first, rest) -> Response:
+    """Fetch modswitched rows to the host Response container."""
+    return Response(first_row=np.asarray(first).astype(object),
+                    rest_rows=np.asarray(rest).astype(object))
+
+
 def decode_response(resp: Response, Sp_centered: np.ndarray, params: Params
                     ) -> np.ndarray:
     """Recombine to the plaintext matrix (ref: spiral.cpp:1452-1475).

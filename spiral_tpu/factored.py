@@ -19,7 +19,7 @@ from .params import Params
 from .arith.ntt import crt_ntt
 from .core.poly import matmul_raw
 from .crypto.decode import (Response, decode_response,
-                            modswitch_response_from_residues)
+                            response_from_device_rows)
 from .crypto.query import Query
 from .pir import ServerTimings, SpiralClient
 from .server.db import EncodedDb, encode_db
@@ -54,8 +54,10 @@ class FactoredSpiralServer:
             qk = reorient_query(C_reg)
             out = matmul_raw(db_all, qk)          # (F, num_per, n2, n1, 2, d)
             cts = eng.inverse(out.transpose(0, 1, 3, 2, 4, 5))
-            return jax.vmap(
+            finals = jax.vmap(
                 lambda c: fold_ciphertexts(c, q_pos, q_neg, p))(cts)
+            from .crypto.decode import modswitch_device
+            return jax.vmap(lambda f: modswitch_device(f, p))(finals)
 
         self._fdim_fold = jax.jit(fdim_fold)
 
@@ -71,10 +73,10 @@ class FactoredSpiralServer:
                 seed, query.first_b, query.gsw_b)
         C_reg = b._stage_comp(first_scalars)
         q_pos, q_neg = b._stage_conv(gsw_scalars)
-        finals = self._fdim_fold(self.db.data, C_reg, q_pos, q_neg)
-        finals.block_until_ready()
+        firsts, rests = self._fdim_fold(self.db.data, C_reg, q_pos, q_neg)
+        rests.block_until_ready()
         t1 = time.perf_counter()
-        resps = [modswitch_response_from_residues(np.asarray(finals[f]), p)
+        resps = [response_from_device_rows(firsts[f], rests[f])
                  for f in range(self.factor)]
         timings = ServerTimings(first_multiply_us=(t1 - t0) * 1e6)
         return resps, timings

@@ -333,7 +333,9 @@ class PackServer:
 
         def pack_stage(result):
             packed = pack_ciphertexts(result, pub.v_W, p)
-            return eng.inverse(packed)     # (out_n+1, out_n, 2, d)
+            coeff = eng.inverse(packed)    # (out_n+1, out_n, 2, d)
+            from .crypto.decode import modswitch_device
+            return modswitch_device(coeff, p)
 
         self._stage_expand = jax.jit(expand)
         self._stage_reconstruct = jax.jit(reconstruct_direct)
@@ -343,11 +345,10 @@ class PackServer:
         self._stage_fold = jax.jit(fold)
         self._stage_pack = jax.jit(pack_stage)
 
-    def _modswitch(self, packed_coeff):
-        from .crypto.decode import modswitch_response_from_residues
-        import numpy as _np
-        return modswitch_response_from_residues(
-            _np.asarray(packed_coeff), self.params)
+    @staticmethod
+    def _to_response(rows):
+        from .crypto.decode import response_from_device_rows
+        return response_from_device_rows(*rows)
 
     def process_query(self, query: Query):
         timings = ServerTimings()
@@ -378,12 +379,12 @@ class PackServer:
         t4 = time.perf_counter()
         timings.folding_us = (t4 - t3) * 1e6
 
-        packed_coeff = self._stage_pack(result)
-        packed_coeff.block_until_ready()
-        resp = self._modswitch(packed_coeff)
+        rows = self._stage_pack(result)
+        rows[1].block_until_ready()
+        rows[0].block_until_ready()
         t5 = time.perf_counter()
         timings.packing_us = (t5 - t4) * 1e6
-        return resp, timings
+        return self._to_response(rows), timings
 
     def process_query_fused(self, query: Query):
         """Async-chained pipeline (one host round trip + device compute)."""
@@ -399,9 +400,10 @@ class PackServer:
             cts = self._stage_fdim(self._db_limbs, first)
             return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
 
-        run().block_until_ready()          # warm/compile
+        run()[1].block_until_ready()       # warm/compile
         t0 = time.perf_counter()
-        packed_coeff = run()
-        packed_coeff.block_until_ready()
+        rows = run()
+        rows[1].block_until_ready()
+        rows[0].block_until_ready()
         t1 = time.perf_counter()
-        return self._modswitch(packed_coeff), (t1 - t0)
+        return self._to_response(rows), (t1 - t0)

@@ -23,8 +23,8 @@ from .crypto.keys import keygen, SecretKeys
 from .crypto.encrypt import Encryptor
 from .crypto.publicparams import PublicParams, generate_public_params
 from .crypto.query import Query, generate_query, reconstruct_cts
-from .crypto.decode import (Response, decode_response,
-                            modswitch_response_from_residues)
+from .crypto.decode import (Response, decode_response, modswitch_device,
+                            response_from_device_rows)
 from .server.db import EncodedDb, ImplicitDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
@@ -145,6 +145,9 @@ class SpiralServer:
         def fold(cts_coeff, q_pos, q_neg):
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
 
+        def modswitch(final):
+            return modswitch_device(final, p)
+
         def reconstruct_direct(seed, first_b, gsw_b):
             """Subround-aware reconstruction + per-part expansion
             (ref: src/spiral.cpp:2058-2177)."""
@@ -173,6 +176,27 @@ class SpiralServer:
         self._stage_conv = jax.jit(conv)
         self._stage_fdim = jax.jit(fdim)
         self._stage_fold = jax.jit(fold)
+        self._stage_modswitch = jax.jit(modswitch)
+
+        # whole-pipeline single-dispatch programs: over a remote-attached
+        # TPU every dispatch/sync costs tens of ms of tunnel latency, so
+        # the serving path compiles the full query->response computation
+        # into ONE XLA program per query form
+        def full_packed(db_limbs, seed, packed_b):
+            first_scalars, gsw_scalars = expand(seed, packed_b)
+            return modswitch(fold(
+                fdim(db_limbs, comp(first_scalars)),
+                *conv(gsw_scalars)))
+
+        def full_direct(db_limbs, seed, first_b, gsw_b):
+            first_scalars, gsw_scalars = reconstruct_direct(
+                seed, first_b, gsw_b)
+            return modswitch(fold(
+                fdim(db_limbs, comp(first_scalars)),
+                *conv(gsw_scalars)))
+
+        self._stage_full_packed = jax.jit(full_packed)
+        self._stage_full_direct = jax.jit(full_direct)
 
     def _run_async(self, query: Query):
         """Chain the jitted stages without host sync: JAX async dispatch
@@ -188,7 +212,17 @@ class SpiralServer:
         C_reg = self._stage_comp(first_scalars)
         q_pos, q_neg = self._stage_conv(gsw_scalars)
         cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
-        return self._stage_fold(cts_coeff, q_pos, q_neg)
+        final = self._stage_fold(cts_coeff, q_pos, q_neg)
+        return self._stage_modswitch(final)
+
+    def _run_single(self, query: Query):
+        """One-dispatch whole-pipeline execution (serving hot path)."""
+        seed = jnp.int32(query.seed)
+        if query.packed_b is not None:
+            return self._stage_full_packed(self._db_limbs, seed,
+                                           query.packed_b)
+        return self._stage_full_direct(self._db_limbs, seed,
+                                       query.first_b, query.gsw_b)
 
     @staticmethod
     def encode_database(pts: np.ndarray, params: Params) -> EncodedDb:
@@ -232,24 +266,24 @@ class SpiralServer:
         t5 = tick()
         timings.folding_us = (t5 - t4) * 1e6
 
-        # modulus switch (two-modulus response, host/native)
-        resp = modswitch_response_from_residues(np.asarray(final), p)
+        # modulus switch (two-modulus response, on-device exact)
+        first, rest = self._stage_modswitch(final)
+        rest.block_until_ready()
         t6 = tick()
         timings.modswitch_us = (t6 - t5) * 1e6
-        return resp, timings
+        return response_from_device_rows(first, rest), timings
 
     def process_query_fused(self, query: Query):
         """Async-chained pipeline; returns (Response, server_seconds).
         The first call pays stage compiles; callers should warm up."""
         tick = time.perf_counter
-        self._run_async(query).block_until_ready()   # warm/compile
+        self._run_single(query)[1].block_until_ready()   # warm/compile
         t0 = tick()
-        final = self._run_async(query)
-        final.block_until_ready()
+        first, rest = self._run_single(query)
+        rest.block_until_ready()
+        first.block_until_ready()
         t1 = tick()
-        resp = modswitch_response_from_residues(np.asarray(final),
-                                                self.params)
-        return resp, (t1 - t0)
+        return response_from_device_rows(first, rest), (t1 - t0)
 
 
 def run_pir(params: Params, idx: int | None = None, seed: int = 0,

@@ -61,3 +61,17 @@ def test_e2e_pipeline_runs_implicit():
     out = client.decode(resp)
     assert out.shape == (p.n0, p.n2, p.poly_len)
     assert timings.first_multiply_us > 0
+
+
+def test_encode_db_chunked_matches_encode_db():
+    """The streaming int16-upload encoder must produce the exact serving
+    tensor of the one-shot encoder."""
+    import numpy as np
+    from spiral_tpu.params import preset
+    from spiral_tpu.server.db import encode_db, encode_db_chunked, random_db
+
+    p = preset("tiny")
+    pts = random_db(p, np.random.default_rng(3))
+    a = encode_db(pts, p).data
+    b = encode_db_chunked(pts, p, chunk_items=6).data
+    assert np.array_equal(np.asarray(a), np.asarray(b))
