@@ -129,7 +129,9 @@ def main() -> int:
         log(f"trial {t}: fused server time {s:.4f}s")
         best_s = min(best_s, s)
 
-    # one staged run for the breakdown (each stage includes one host RTT)
+    # staged breakdown: first run pays the per-stage compiles, second
+    # measures (each stage still includes one host RTT)
+    server.process_query(query)
     _, stages = server.process_query(query)
     log(f"staged breakdown (incl. RTT/stage): exp={stages.expansion_us:.0f} "
         f"comp={stages.composition_us:.0f} conv={stages.conversion_us:.0f} "

@@ -251,12 +251,133 @@ def fig_streaming(args) -> list:
     return rows
 
 
+def _dryrun_cell(system: str, log_n: int, itemsize: int, **constraints):
+    """Selection/model cell (the reference's select_params --dry-run path):
+    sizes and rate are exact; server time is the model cost (a measured
+    TPU LUT entry when one exists, else the analytic proxy)."""
+    from .paramgen.search import select_params
+    pack = "pack" in system
+    direct = "stream" in system
+    try:
+        sel = select_params(log_n, itemsize, direct_upload=direct,
+                            pack=pack, **constraints)
+    except ValueError:
+        return {"system": system, "log_n": log_n, "itemsize": itemsize,
+                "feasible": False}
+    p = sel.params
+    _, resp_b = _item_resp_bytes(p, pack)
+    resp_total = resp_b * sel.factor
+    db_b = (1 << log_n) * itemsize
+    return {
+        "system": system, "log_n": log_n, "itemsize": itemsize,
+        "feasible": True, "factor": sel.factor,
+        "query_sz": p.query_size_bytes(),
+        "param_sz": p.public_param_size_bytes(),
+        "resp_sz": resp_total,
+        "rate": round(itemsize / resp_total, 4),
+        "model_server_s": round(abs(sel.cost), 4),
+        "model_tput_MB_s": round(db_b / abs(sel.cost) / 1e6, 1)
+        if constraints.get("optimize_for", "") != "rate" else None,
+        "params": {"nu_1": p.nu_1, "nu_2": p.nu_2, "p_db": p.p_db,
+                   "t_gsw": p.t_gsw, "t_conv": p.t_conv, "t_exp": p.t_exp,
+                   "q_prime_bits": p.q_prime_bits, "out_n": p.out_n},
+    }
+
+
+def fig_limits(args) -> list:
+    """Upload-constrained deployments (ref: run_all.py scenarios_limits):
+    SpiralStream/SpiralStreamPack under a max online-query size."""
+    rows = []
+    cap = args.max_query_mb * 1_000_000
+    for log_n, itemsize in ((20, 256), (18, 30000), (14, 1000000)):
+        for system in ("spiralstream", "spiralstreampack"):
+            rows.append(_dryrun_cell(system, log_n, itemsize,
+                                     max_query_bytes=cap))
+    _print_rows(rows, ("system", "log_n", "itemsize", "rate", "param_sz",
+                       "query_sz", "resp_sz", "model_server_s"))
+    return rows
+
+
+def fig_maxtotalquery(args) -> list:
+    """Rate/tput vs upload cap, per constraint predicate
+    (ref: run_all.py scenarios_maxtotalquery)."""
+    kinds = {"query": "max_query_bytes", "param": "max_param_bytes",
+             "total-query": "max_total_query_bytes"}
+    rows = []
+    for mb in (1, 2, 5, 10, 20, 30, 40, 50, 60, 70):
+        for kind, kw in kinds.items():
+            for system in VARIANTS:
+                cell = _dryrun_cell(system, 14, 100000,
+                                    **{kw: mb * 1_000_000})
+                cell["cap_mb"], cell["predicate"] = mb, kind
+                rows.append(cell)
+    _print_rows([r for r in rows if r["feasible"]],
+                ("system", "cap_mb", "predicate", "rate", "query_sz",
+                 "param_sz"))
+    return rows
+
+
+def fig_application(args) -> list:
+    """Application scenarios (ref: run_all.py gen_application): movie
+    streaming (2^14 x 2 GB), Wikipedia (2^20 x 30 KB), voice call
+    (625 rounds of 2^14 x 6144 B).  Oversized items use the factored
+    pipeline; cells are selection/model numbers (the reference likewise
+    scales one measured pass by `factor`)."""
+    rows = []
+    for system in ("spiralstream", "spiralstreampack"):
+        c = _dryrun_cell(system, 14, 2_000_000_000,
+                         max_query_bytes=33_000_000)
+        c["scenario"] = "movie"
+        rows.append(c)
+    for system in VARIANTS:
+        c = _dryrun_cell(system, 20, 30000)
+        c["scenario"] = "wiki"
+        rows.append(c)
+    for system in ("spiralstream", "spiralstreampack"):
+        c = _dryrun_cell(system, 14, 6144, max_query_bytes=33_000_000)
+        if c["feasible"]:
+            rounds = 625
+            c["resp_sz"] *= rounds
+            c["model_server_s"] = round(c["model_server_s"] * rounds, 3)
+            c["rate"] = round(6144 * rounds / c["resp_sz"], 4)
+        c["scenario"] = "voice(625)"
+        rows.append(c)
+    _print_rows(rows, ("scenario", "system", "rate", "query_sz", "param_sz",
+                       "resp_sz", "model_server_s"))
+    return rows
+
+
+def fig_ablation(args) -> list:
+    """Kernel-path ablation (ref: run_all.py gen_ablation NO_CRT / no-AVX
+    builds): baseline int8-limb MXU first-dim vs portable u32 VPU
+    contraction, measured end-to-end on the same DB."""
+    import os
+    from .params import preset
+    rows = []
+    name = args.preset or ("tiny" if args.tiny else "spiral_20_256")
+    for mode in ("mxu", "u32"):
+        os.environ["SPIRAL_FDIM"] = "u32" if mode == "u32" else ""
+        rng = np.random.default_rng(0)
+        print(f"ablation fdim={mode}...", file=sys.stderr, flush=True)
+        row = run_variant("spiral", preset(name), rng, args.trials)
+        assert row["correct"]
+        row["fdim_path"] = mode
+        rows.append(row)
+    os.environ.pop("SPIRAL_FDIM", None)
+    _print_rows(rows, ("fdim_path", "server_s", "tput_MB_s"))
+    return rows
+
+
 FIGURES = {
     "packingcomp": fig_packingcomp,
     "table": fig_table,
     "ubench": fig_ubench,
     "asympcomp": fig_asympcomp,
     "streaming": fig_streaming,
+    "limits": fig_limits,
+    "maxtotalquery": fig_maxtotalquery,
+    "application": fig_application,
+    "ablation": fig_ablation,
 }
 
 
@@ -270,6 +391,7 @@ def main() -> int:
     ap.add_argument("--preset", default=None)
     ap.add_argument("--logns", default="24,26,28")
     ap.add_argument("--slab-bytes", type=int, default=2 << 30)
+    ap.add_argument("--max-query-mb", type=int, default=33)
     args = ap.parse_args()
 
     import jax

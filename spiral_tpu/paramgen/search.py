@@ -86,9 +86,13 @@ def candidate_ok(params: Params, pack: bool) -> tuple[float, int] | None:
 def select_params(log_n: int, item_size_bytes: int, *,
                   direct_upload: bool = False, pack: bool = False,
                   max_query_bytes: int | None = None,
+                  max_param_bytes: int | None = None,
+                  max_total_query_bytes: int | None = None,
+                  optimize_for: str = "",
                   out_n_choices=(2, 4), d: int = 2048) -> Selected:
     """Pick scheme parameters for a database of 2^log_n items of
-    item_size_bytes each (the select_params.py CLI contract)."""
+    item_size_bytes each (the select_params.py CLI contract; constraint
+    predicates and --optimize-for mirror ref select_params.py:280-330)."""
     best: Selected | None = None
     t_choices = (2, 4, 8, 16, 32, 56)
     for p_log in range(2, 17):
@@ -102,7 +106,9 @@ def select_params(log_n: int, item_size_bytes: int, *,
                                 cand = _try_candidate(
                                     log_n, item_size_bytes, p_db, nu_1, nu_2,
                                     t_gsw, t_conv, t_exp, out_n, d,
-                                    direct_upload, pack, max_query_bytes)
+                                    direct_upload, pack, max_query_bytes,
+                                    max_param_bytes, max_total_query_bytes,
+                                    optimize_for)
                                 if cand and (best is None or
                                              cand.cost < best.cost):
                                     best = cand
@@ -111,8 +117,16 @@ def select_params(log_n: int, item_size_bytes: int, *,
     return best
 
 
+# noise-model results cache, keyed by the candidate tuple — the runtime
+# analog of the reference's all_params*.pkl artifacts (candidates are
+# enumerated once per (variant, d) and re-ranked per constraint set)
+_NOISE_CACHE: dict[tuple, tuple[float, int] | None] = {}
+
+
 def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
-                   t_exp, out_n, d, direct_upload, pack, max_query_bytes):
+                   t_exp, out_n, d, direct_upload, pack, max_query_bytes,
+                   max_param_bytes=None, max_total_query_bytes=None,
+                   optimize_for=""):
     qe_first = (1 << nu_1) if direct_upload else 1
     qe_rest = nu_2 * t_gsw if direct_upload else 0
     base = Params(nu_1=nu_1, nu_2=nu_2, p_db=p_db, q_prime_bits=20,
@@ -128,13 +142,26 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
     records_needed = math.ceil((1 << log_n) * item_size_bytes / rec)
     if (1 << (nu_1 + nu_2)) * factor < records_needed:
         return None
-    res = candidate_ok(base, pack)
+    ck = (p_db, nu_1, nu_2, t_gsw, t_conv, t_exp, out_n, d,
+          direct_upload, pack)
+    if ck in _NOISE_CACHE:
+        res = _NOISE_CACHE[ck]
+    else:
+        res = candidate_ok(base, pack)
+        _NOISE_CACHE[ck] = res
     if res is None:
         return None
     pe, qbits = res
     params = dataclasses.replace(base, q_prime_bits=qbits)
     if max_query_bytes is not None and \
             params.query_size_bytes() > max_query_bytes:
+        return None
+    if max_param_bytes is not None and \
+            params.public_param_size_bytes() > max_param_bytes:
+        return None
+    if max_total_query_bytes is not None and \
+            params.query_size_bytes() + params.public_param_size_bytes() \
+            > max_total_query_bytes:
         return None
     # prefer a measured TPU LUT entry over the analytic proxy
     from .build_lut import load_lut, lut_key
@@ -143,5 +170,18 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
         cost = entry["server_s"]
     else:
         cost = tpu_cost_proxy(params, pack)
-    return Selected(params=params, factor=factor, p_err_bits=pe,
-                    cost=cost * factor)
+    cost *= factor
+    if optimize_for == "rate":
+        # maximize rate = item / (factor * resp) (ref: select_params.py:280)
+        resp = _response_bytes(params, pack) * factor
+        cost = -item_size_bytes / resp
+    # "tput" == minimize server time for a fixed dbsize == default cost
+    return Selected(params=params, factor=factor, p_err_bits=pe, cost=cost)
+
+
+def _response_bytes(params: Params, pack: bool) -> int:
+    logp = int(math.log2(params.p_db))
+    if pack:
+        return (params.out_n ** 2 * params.poly_len * (logp + 2)
+                + params.out_n * params.poly_len * params.q_prime_bits) // 8
+    return params.response_size_bytes()

@@ -93,13 +93,19 @@ class SpiralServer:
         d = params.poly_len
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
-        # int8 limb layout for the MXU first-dim kernel
+        # int8 limb layout for the MXU first-dim kernel; SPIRAL_FDIM=u32
+        # keeps the u32 layout and uses the portable VPU contraction (the
+        # TPU analog of the reference's NO_CRT/no-AVX ablation builds)
+        import os
+        self._fdim_u32 = os.environ.get("SPIRAL_FDIM") == "u32"
         if isinstance(db, ImplicitDb):
             self._implicit_chunks = db.num_chunks
             self._db_limbs = db.slab_limbs
+            self._fdim_u32 = False
         else:
             self._implicit_chunks = 0
-            self._db_limbs = db_to_mxu_limbs(db.data)
+            self._db_limbs = (db.data if self._fdim_u32
+                              else db_to_mxu_limbs(db.data))
         self._build_stages()
 
     def _build_stages(self):
@@ -132,11 +138,15 @@ class SpiralServer:
             return q_pos, q_neg
 
         n_chunks = self._implicit_chunks
+        use_u32 = self._fdim_u32
 
         def fdim(db_limbs, C_reg):
             qk = reorient_query(C_reg)
             if n_chunks:
                 res = multiply_query_by_db_implicit(db_limbs, qk, n_chunks)
+            elif use_u32:
+                out = matmul_raw(db_limbs, qk)    # (num_per, n2, n1, 2, d)
+                return eng.inverse(out.transpose(0, 2, 1, 3, 4))
             else:
                 res = multiply_query_by_db_mxu(db_limbs, qk)
             cts_ntt = finish_mxu_output(res, p.num_per, p.n2)

@@ -27,6 +27,10 @@ def main() -> int:
     ap.add_argument("--pack", "--high-rate", action="store_true",
                     dest="pack")
     ap.add_argument("--max-query-size", type=int, default=None)
+    ap.add_argument("--max-param-size", type=int, default=None)
+    ap.add_argument("--max-total-query-size", type=int, default=None)
+    ap.add_argument("--optimize-for", default="",
+                    choices=("", "rate", "tput"))
     ap.add_argument("--dry-run", action="store_true",
                     help="select parameters only; do not run")
     ap.add_argument("--trials", type=int, default=1)
@@ -39,6 +43,9 @@ def main() -> int:
     sel = select_params(args.logN, args.itemsize,
                         direct_upload=args.direct_upload, pack=args.pack,
                         max_query_bytes=args.max_query_size,
+                        max_param_bytes=args.max_param_size,
+                        max_total_query_bytes=args.max_total_query_size,
+                        optimize_for=args.optimize_for,
                         d=args.poly_len)
     p = sel.params
     logp = int(math.log2(p.p_db))
