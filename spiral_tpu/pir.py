@@ -208,10 +208,9 @@ class SpiralServer:
         self._stage_full_packed = jax.jit(full_packed)
         self._stage_full_direct = jax.jit(full_direct)
 
-    def _run_async(self, query: Query):
-        """Chain the jitted stages without host sync: JAX async dispatch
-        queues all stages on-device, so the measured wall time is one host
-        round trip plus device compute (crucial over a remote TPU tunnel)."""
+    def final_ciphertext(self, query: Query):
+        """Pre-modswitch folded ct (n1, n2, 2, d) — the error-analysis hook
+        (ref: --output-err dump, src/spiral.cpp:1517-1535)."""
         seed = jnp.int32(query.seed)
         if query.packed_b is not None:
             first_scalars, gsw_scalars = self._stage_expand(
@@ -222,8 +221,13 @@ class SpiralServer:
         C_reg = self._stage_comp(first_scalars)
         q_pos, q_neg = self._stage_conv(gsw_scalars)
         cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
-        final = self._stage_fold(cts_coeff, q_pos, q_neg)
-        return self._stage_modswitch(final)
+        return self._stage_fold(cts_coeff, q_pos, q_neg)
+
+    def _run_async(self, query: Query):
+        """Chain the jitted stages without host sync: JAX async dispatch
+        queues all stages on-device, so the measured wall time is one host
+        round trip plus device compute (crucial over a remote TPU tunnel)."""
+        return self._stage_modswitch(self.final_ciphertext(query))
 
     def _run_single(self, query: Query):
         """One-dispatch whole-pipeline execution (serving hot path)."""

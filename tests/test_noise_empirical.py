@@ -31,7 +31,7 @@ def _run_collect_errors(params, seed=0):
     server = SpiralServer(params, encode_db(pts, params), pub)
     idx = int(rng.integers(0, params.total_n))
     query = client.query(idx)
-    final = server._run_async(query)
+    final = server.final_ciphertext(query)
     final_host = PolyMat(np.asarray(final), ntt=False).to_host_int()
     S_centered = np.concatenate(
         [client.keys.Sp_centered,
