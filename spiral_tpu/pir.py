@@ -223,12 +223,6 @@ class SpiralServer:
         cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
         return self._stage_fold(cts_coeff, q_pos, q_neg)
 
-    def _run_async(self, query: Query):
-        """Chain the jitted stages without host sync: JAX async dispatch
-        queues all stages on-device, so the measured wall time is one host
-        round trip plus device compute (crucial over a remote TPU tunnel)."""
-        return self._stage_modswitch(self.final_ciphertext(query))
-
     def _run_single(self, query: Query):
         """One-dispatch whole-pipeline execution (serving hot path)."""
         seed = jnp.int32(query.seed)
