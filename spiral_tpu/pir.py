@@ -29,8 +29,10 @@ from .server.db import EncodedDb, ImplicitDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
 from .server.firstdim import (db_to_mxu_limbs, finish_mxu_output,
+                              finish_mxu_output_batch,
                               multiply_query_by_db_implicit,
-                              multiply_query_by_db_mxu, reorient_query)
+                              multiply_query_by_db_mxu,
+                              multiply_query_by_db_mxu_batch, reorient_query)
 from .server.fold import fold_ciphertexts
 
 
@@ -208,6 +210,37 @@ class SpiralServer:
         self._stage_full_packed = jax.jit(full_packed)
         self._stage_full_direct = jax.jit(full_direct)
 
+        # multi-query batch: every query-sized stage vmaps over the batch;
+        # the first-dim multiply instead folds the batch into the MXU lhs
+        # so the database (the huge HBM operand) streams ONCE per batch —
+        # aggregate throughput scales superlinearly in B on an HBM-bound
+        # database.  No reference counterpart (single query at a time).
+        def fdim_batch(db_limbs, C_reg_b):
+            qk = jax.vmap(reorient_query)(C_reg_b)   # (B, K, n1, 2, d)
+            res = multiply_query_by_db_mxu_batch(db_limbs, qk)
+            cts_ntt = finish_mxu_output_batch(res, p.num_per, p.n2)
+            return eng.inverse(cts_ntt)
+
+        def full_packed_batch(db_limbs, seeds, packed_bs):
+            first_b, gsw_b = jax.vmap(expand)(seeds, packed_bs)
+            C_reg_b = jax.vmap(comp)(first_b)
+            q_pos_b, q_neg_b = jax.vmap(conv)(gsw_b)
+            cts_b = fdim_batch(db_limbs, C_reg_b)
+            finals = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(modswitch)(finals)
+
+        def full_direct_batch(db_limbs, seeds, first_bs, gsw_bs):
+            first_b, gsw_b = jax.vmap(reconstruct_direct)(
+                seeds, first_bs, gsw_bs)
+            C_reg_b = jax.vmap(comp)(first_b)
+            q_pos_b, q_neg_b = jax.vmap(conv)(gsw_b)
+            cts_b = fdim_batch(db_limbs, C_reg_b)
+            finals = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(modswitch)(finals)
+
+        self._stage_full_packed_batch = jax.jit(full_packed_batch)
+        self._stage_full_direct_batch = jax.jit(full_direct_batch)
+
     def final_ciphertext(self, query: Query):
         """Pre-modswitch folded ct (n1, n2, 2, d) — the error-analysis hook
         (ref: --output-err dump, src/spiral.cpp:1517-1535)."""
@@ -280,6 +313,35 @@ class SpiralServer:
         t6 = tick()
         timings.modswitch_us = (t6 - t5) * 1e6
         return response_from_device_rows(first, rest), timings
+
+    def process_query_batch(self, queries: list[Query]):
+        """Serve a batch of queries in ONE device dispatch; the database
+        streams from HBM once for the whole batch.  Returns
+        (list[Response], seconds).  All queries must share the upload form
+        (the Params fix it).  First call per batch size pays the compile."""
+        assert queries, "empty batch"
+        assert not self._implicit_chunks and not self._fdim_u32, \
+            "batched serving requires the explicit MXU database layout"
+        seeds = jnp.asarray([q.seed for q in queries], dtype=jnp.int32)
+        tick = time.perf_counter
+        if queries[0].packed_b is not None:
+            packed = jnp.stack([q.packed_b for q in queries])
+            run = lambda: self._stage_full_packed_batch(
+                self._db_limbs, seeds, packed)
+        else:
+            firsts = jnp.stack([q.first_b for q in queries])
+            gsws = jnp.stack([q.gsw_b for q in queries])
+            run = lambda: self._stage_full_direct_batch(
+                self._db_limbs, seeds, firsts, gsws)
+        run()[1].block_until_ready()     # warm/compile
+        t0 = tick()
+        first_b, rest_b = run()
+        rest_b.block_until_ready()
+        first_b.block_until_ready()
+        dt = tick() - t0
+        responses = [response_from_device_rows(first_b[i], rest_b[i])
+                     for i in range(len(queries))]
+        return responses, dt
 
     def process_query_fused(self, query: Query):
         """Async-chained pipeline; returns (Response, server_seconds).

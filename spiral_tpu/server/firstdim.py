@@ -63,29 +63,26 @@ def db_to_mxu_limbs(db_data):
     return t.reshape(2, d, K, num_per * n2 * N_LIMBS)
 
 
-def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
-    """db_limbs: (2, d, K, N=num_per*n2*4) int8 from db_to_mxu_limbs.
-    query_k: (K, n1, 2, d) u32 NTT residues.
-    Returns (num_per, n1, n2, 2, d) u32."""
+def _mxu_contract(db_limbs, lhs, G: int) -> jnp.ndarray:
+    """Shared MXU contraction + limb recombination.
+
+    db_limbs: (2, d, K, N=m*4) int8; lhs: (2, d, G*4, K) int8 query limbs
+    (limb axis fastest within each group of 4 rows).
+    Returns (2, d, G, m) u32 residues."""
     crt, d, K, N = db_limbs.shape
-    n1 = query_k.shape[1]
-    num_per_n2 = N // N_LIMBS
+    m = N // N_LIMBS
 
-    q_limbs = _to_limbs_i8(query_k)          # (K, n1, 2, d, 4)
-    lhs = q_limbs.transpose(2, 3, 1, 4, 0)   # (2, d, n1, 4, K)
-    lhs = lhs.reshape(crt, d, n1 * N_LIMBS, K)
-
-    # batched int8 matmul, exact in int32: (2, d, 12, K) @ (2, d, K, N)
+    # batched int8 matmul, exact in int32: (2, d, G*4, K) @ (2, d, K, N)
     out = jax.lax.dot_general(
         lhs, db_limbs,
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.int32)    # (2, d, n1*4, N)
+        preferred_element_type=jnp.int32)    # (2, d, G*4, N)
 
-    out = out.reshape(crt, d, n1, N_LIMBS, num_per_n2, N_LIMBS)
+    out = out.reshape(crt, d, G, N_LIMBS, m, N_LIMBS)
     results = []
     for li, p in enumerate((P_I, B_I)):
         ctx = mod_ctx(p)
-        o = out[li]                           # (d, n1, 4, m, 4)
+        o = out[li]                           # (d, G, 4, m, 4)
         acc = None
         for s in range(2 * N_LIMBS - 1):
             # S_s = sum over limb pairs with i+j == s; |pairs| <= 4,
@@ -101,9 +98,36 @@ def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
             ws = (w << 32) // p
             r = ctx.mul_shoup(r, jnp.uint32(w), jnp.uint32(ws))
             acc = r if acc is None else ctx.add(acc, r)
-        results.append(acc)                   # (d, n1, m)
-    res = jnp.stack(results)                  # (2, d, n1, num_per*n2)
-    return res
+        results.append(acc)                   # (d, G, m)
+    return jnp.stack(results)                 # (2, d, G, m)
+
+
+def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
+    """db_limbs: (2, d, K, N=num_per*n2*4) int8 from db_to_mxu_limbs.
+    query_k: (K, n1, 2, d) u32 NTT residues.
+    Returns (2, d, n1, num_per*n2) u32."""
+    crt, d, K, N = db_limbs.shape
+    n1 = query_k.shape[1]
+    q_limbs = _to_limbs_i8(query_k)          # (K, n1, 2, d, 4)
+    lhs = q_limbs.transpose(2, 3, 1, 4, 0)   # (2, d, n1, 4, K)
+    lhs = lhs.reshape(crt, d, n1 * N_LIMBS, K)
+    return _mxu_contract(db_limbs, lhs, n1)
+
+
+def multiply_query_by_db_mxu_batch(db_limbs, query_k_b) -> jnp.ndarray:
+    """Multi-query first-dim multiply: the database (the huge HBM operand)
+    streams ONCE for the whole batch; the MXU lhs grows to B*n1*4 rows.
+    TPU-native aggregate-throughput feature — the reference processes one
+    query at a time (ref: src/spiral.cpp:628 has no batch axis).
+
+    query_k_b: (B, K, n1, 2, d).  Returns (2, d, B, n1, num_per*n2)."""
+    crt, d, K, N = db_limbs.shape
+    B, _, n1 = query_k_b.shape[:3]
+    q_limbs = _to_limbs_i8(query_k_b)          # (B, K, n1, 2, d, 4)
+    lhs = q_limbs.transpose(3, 4, 0, 2, 5, 1)  # (2, d, B, n1, 4, K)
+    lhs = lhs.reshape(crt, d, B * n1 * N_LIMBS, K)
+    res = _mxu_contract(db_limbs, lhs, B * n1)  # (2, d, B*n1, m)
+    return res.reshape(crt, d, B, n1, N // N_LIMBS)
 
 
 @functools.partial(jax.jit, static_argnames=("num_chunks",))
@@ -137,3 +161,10 @@ def finish_mxu_output(res, num_per: int, n2: int):
     crt, d, n1, _ = res.shape
     v = res.reshape(crt, d, n1, num_per, n2)
     return v.transpose(3, 2, 4, 0, 1)
+
+
+def finish_mxu_output_batch(res, num_per: int, n2: int):
+    """(2, d, B, n1, num_per*n2) -> (B, num_per, n1, n2, 2, d)."""
+    crt, d, B, n1, _ = res.shape
+    v = res.reshape(crt, d, B, n1, num_per, n2)
+    return v.transpose(2, 4, 3, 5, 0, 1)
