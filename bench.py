@@ -23,6 +23,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="spiral_20_256")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="serve B queries per dispatch (DB streamed once "
+                         "per batch); reports aggregate throughput")
     ap.add_argument("--implicit", action="store_true",
                     help="implicit random working-set DB (ref --random-data)"
                          ": huge-DB throughput timing, correctness unchecked")
@@ -110,6 +113,37 @@ def main() -> int:
 
     idx = int(rng.integers(0, params.total_n))
     query = client.query(idx)
+
+    if args.batch:
+        idxs = [int(rng.integers(0, params.total_n))
+                for _ in range(args.batch)]
+        queries = [client.query(i) for i in idxs]
+        best_s = float("inf")
+        for t in range(max(1, args.trials)):
+            resps, s = server.process_query_batch(queries)
+            log(f"batch trial {t}: {s:.4f}s "
+                f"({args.batch / s:.1f} queries/s)")
+            best_s = min(best_s, s)
+        correct = all(
+            np.array_equal(client.decode(r), pts[i].astype(object))
+            for i, r in zip(idxs, resps)) if pts is not None else None
+        log(f"batch correct: {correct}")
+        pt_bits = int(np.log2(params.p_db))
+        db_bytes = params.total_n * params.n0 * params.n2 * d * pt_bits // 8
+        throughput = args.batch * db_bytes / best_s / 1e6
+        print(json.dumps({
+            "metric": "spiral_server_throughput",
+            "value": round(throughput, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(throughput / BASELINE_THROUGHPUT_MBPS, 3),
+            "detail": {"preset": args.preset, "batch": args.batch,
+                       "correct": correct, "db_bytes": db_bytes,
+                       "batch_seconds": round(best_s, 4),
+                       "queries_per_s": round(args.batch / best_s, 2),
+                       "query_bytes": queries[0].size_bytes,
+                       "response_bytes": params.response_size_bytes()},
+        }))
+        return 0 if correct is not False else 1
 
     # fused single-dispatch pipeline: warmup compiles, then timed trials
     t0 = time.time()

@@ -345,6 +345,36 @@ class PackServer:
         self._stage_fold = jax.jit(fold)
         self._stage_pack = jax.jit(pack_stage)
 
+        # multi-query batch (same design as SpiralServer): DB streams once
+        # per batch through a widened MXU lhs; everything else vmaps
+        def fdim_batch(db_limbs, first_b):
+            from .server.firstdim import multiply_query_by_db_mxu_batch
+            qk = first_b[:, :, :, 0]       # (B, K=dim0, rows=2, 2, d)
+            res = multiply_query_by_db_mxu_batch(db_limbs, qk)
+            T, npr = self._trials, self._num_per
+            B = qk.shape[0]
+            v = res.reshape(2, p.poly_len, B, 2, T, npr)
+            cts_ntt = v.transpose(2, 4, 5, 3, 0, 1)[:, :, :, :, None]
+            return eng.inverse(cts_ntt)    # (B, T, np, 2, 1, 2, d)
+
+        def full_packed_batch(db_limbs, seeds, packed_bs):
+            first_b, gsw_src_b = jax.vmap(expand)(seeds, packed_bs)
+            q_pos_b, q_neg_b = jax.vmap(conv)(gsw_src_b)
+            cts_b = fdim_batch(db_limbs, first_b)
+            results = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(pack_stage)(results)
+
+        def full_direct_batch(db_limbs, seeds, first_bs, gsw_bs):
+            first_b, gsw_cts_b = jax.vmap(reconstruct_direct)(
+                seeds, first_bs, gsw_bs)
+            q_pos_b, q_neg_b = jax.vmap(conv_direct)(gsw_cts_b)
+            cts_b = fdim_batch(db_limbs, first_b)
+            results = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(pack_stage)(results)
+
+        self._stage_full_packed_batch = jax.jit(full_packed_batch)
+        self._stage_full_direct_batch = jax.jit(full_direct_batch)
+
     @staticmethod
     def _to_response(rows):
         from .crypto.decode import response_from_device_rows
@@ -385,6 +415,30 @@ class PackServer:
         t5 = time.perf_counter()
         timings.packing_us = (t5 - t4) * 1e6
         return self._to_response(rows), timings
+
+    def process_query_batch(self, queries: list[Query]):
+        """Serve a batch of pack queries in one dispatch (DB streamed once).
+        Returns (list[Response], seconds)."""
+        assert queries, "empty batch"
+        seeds = jnp.asarray([q.seed for q in queries], dtype=jnp.int32)
+        if queries[0].packed_b is not None:
+            packed = jnp.stack([q.packed_b for q in queries])
+            run = lambda: self._stage_full_packed_batch(
+                self._db_limbs, seeds, packed)
+        else:
+            firsts = jnp.stack([q.first_b for q in queries])
+            gsws = jnp.stack([q.gsw_b for q in queries])
+            run = lambda: self._stage_full_direct_batch(
+                self._db_limbs, seeds, firsts, gsws)
+        run()[1].block_until_ready()       # warm/compile
+        t0 = time.perf_counter()
+        first_b, rest_b = run()
+        rest_b.block_until_ready()
+        first_b.block_until_ready()
+        dt = time.perf_counter() - t0
+        responses = [self._to_response((first_b[i], rest_b[i]))
+                     for i in range(len(queries))]
+        return responses, dt
 
     def process_query_fused(self, query: Query):
         """Async-chained pipeline (one host round trip + device compute)."""
