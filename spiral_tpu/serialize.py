@@ -54,8 +54,10 @@ def query_to_bytes(query: Query, params: Params) -> bytes:
     query accounting.)
     """
     from .arith.crt import P_INV_MOD_B
+    from .arith.ntt import ntt_engine_name
     from .params import B_I, P_I
-    parts = [b"SPQ1", int(query.seed).to_bytes(4, "little")]
+    eng = ntt_engine_name(params.poly_len).encode()[:8].ljust(8)
+    parts = [b"SPQ1", eng, int(query.seed).to_bytes(4, "little")]
     for field in (query.packed_b, query.first_b, query.gsw_b):
         if field is None:
             parts.append((0).to_bytes(4, "little"))
@@ -73,9 +75,15 @@ def query_to_bytes(query: Query, params: Params) -> bytes:
 def query_from_bytes(data: bytes, params: Params) -> Query:
     from .params import B_I, P_I
     import jax.numpy as jnp
+    from .arith.ntt import ntt_engine_name
     assert data[:4] == b"SPQ1"
-    seed = int.from_bytes(data[4:8], "little")
-    off = 8
+    eng = data[4:12].decode().strip()
+    active = ntt_engine_name(params.poly_len)
+    assert eng == active, \
+        f"query was serialized under NTT engine {eng!r}; active engine " \
+        f"is {active!r} (slot orders differ)"
+    seed = int.from_bytes(data[12:16], "little")
+    off = 16
     d = params.poly_len
     fields = []
     for _ in range(3):
@@ -98,17 +106,26 @@ def query_from_bytes(data: bytes, params: Params) -> Query:
 
 def save_db(db, path: str) -> None:
     """Checkpoint the encoded serving tensor (+ params) to disk."""
+    from .arith.ntt import ntt_engine_name
     p = pathlib.Path(path)
     np.save(str(p.with_suffix(".npy")), np.asarray(db.data))
     import dataclasses
-    p.with_suffix(".json").write_text(
-        json.dumps(dataclasses.asdict(db.params)))
+    meta = dataclasses.asdict(db.params)
+    meta["__ntt_engine__"] = ntt_engine_name(db.params.poly_len)
+    p.with_suffix(".json").write_text(json.dumps(meta))
 
 
 def load_db(path: str):
     import jax.numpy as jnp
     from .server.db import EncodedDb
+    from .arith.ntt import ntt_engine_name
     p = pathlib.Path(path)
     data = np.load(str(p.with_suffix(".npy")))
-    params = Params(**json.loads(p.with_suffix(".json").read_text()))
+    meta = json.loads(p.with_suffix(".json").read_text())
+    eng = meta.pop("__ntt_engine__", "mxu")
+    params = Params(**meta)
+    active = ntt_engine_name(params.poly_len)
+    assert eng == active, \
+        f"DB was encoded under NTT engine {eng!r}; active engine is " \
+        f"{active!r} (slot orders differ) — re-encode the DB"
     return EncodedDb(data=jnp.asarray(data), params=params)
