@@ -440,23 +440,24 @@ class PackServer:
                      for i in range(len(queries))]
         return responses, dt
 
+    def _run_single(self, query: Query):
+        """One async-dispatched query -> modswitched device rows."""
+        seed = jnp.int32(query.seed)
+        if query.packed_b is not None:
+            first, gsw_src = self._stage_expand(seed, query.packed_b)
+            q_pos, q_neg = self._stage_conv(gsw_src)
+        else:
+            first, gsw_cts = self._stage_reconstruct(
+                seed, query.first_b, query.gsw_b)
+            q_pos, q_neg = self._stage_conv_direct(gsw_cts)
+        cts = self._stage_fdim(self._db_limbs, first)
+        return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
+
     def process_query_fused(self, query: Query):
         """Async-chained pipeline (one host round trip + device compute)."""
-        def run():
-            seed = jnp.int32(query.seed)
-            if query.packed_b is not None:
-                first, gsw_src = self._stage_expand(seed, query.packed_b)
-                q_pos, q_neg = self._stage_conv(gsw_src)
-            else:
-                first, gsw_cts = self._stage_reconstruct(
-                    seed, query.first_b, query.gsw_b)
-                q_pos, q_neg = self._stage_conv_direct(gsw_cts)
-            cts = self._stage_fdim(self._db_limbs, first)
-            return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
-
-        run()[1].block_until_ready()       # warm/compile
+        self._run_single(query)[1].block_until_ready()   # warm/compile
         t0 = time.perf_counter()
-        rows = run()
+        rows = self._run_single(query)
         rows[1].block_until_ready()
         rows[0].block_until_ready()
         t1 = time.perf_counter()
