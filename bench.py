@@ -175,9 +175,11 @@ def main() -> int:
     for first_r, rest_r in outs:
         rest_r.block_until_ready()
         first_r.block_until_ready()
+    # reported separately from best_s: the baseline (vs_baseline) was
+    # measured per single query, so the RTT-amortized pipelined number
+    # must not silently change the headline's semantics (ADVICE r2)
     stream_s = (time.perf_counter() - t0) / K
     log(f"pipelined: {stream_s:.4f}s/query over {K} queries")
-    best_s = min(best_s, stream_s)
 
     # staged breakdown: first run pays the per-stage compiles, second
     # measures (each stage still includes one host RTT)
@@ -202,6 +204,7 @@ def main() -> int:
             "correct": correct,
             "db_bytes": db_bytes,
             "server_total_s": round(best_s, 4),
+            "pipelined_s": round(stream_s, 4),
             "expansion_us": round(stages.expansion_us),
             "composition_us": round(stages.composition_us),
             "conversion_us": round(stages.conversion_us),

@@ -81,13 +81,37 @@ class CrtNtt:
 
 _crt_ntt_cache: dict[int, object] = {}
 
+_ENGINES = ("mxu", "stockham", "pallas")
+_pinned_engine: str | None = None
+
+
+def set_engine(name: str | None) -> None:
+    """Pin the NTT engine for this process (a deployment setting, not an
+    auto-detect): engines use different self-consistent NTT-domain slot
+    orders, so every party exchanging NTT-domain data (queries, DBs,
+    public params) must pin the SAME engine — e.g. a CPU client talking
+    to a TPU server pins 'mxu' on both sides, or 'pallas' if the client
+    only ships coefficient-domain data.  Pass None to unpin (falls back
+    to SPIRAL_NTT env or the backend default).  Must be called before
+    any ring data is created for a given degree."""
+    global _pinned_engine
+    if name is not None and name not in _ENGINES:
+        raise ValueError(f"unknown NTT engine {name!r}; one of {_ENGINES}")
+    if _crt_ntt_cache and name != _pinned_engine:
+        raise ValueError(
+            "set_engine() after NTT engines were instantiated; pin the "
+            "engine at process start, before creating ring data")
+    _pinned_engine = name
+
 
 def _resolve_engine(d: int) -> str:
-    """Engine choice for ring degree d.  SPIRAL_NTT overrides; otherwise
-    the fused Pallas kernel on TPU hardware at its supported degree
-    (~2x the XLA four-step on v5e), the XLA four-step elsewhere."""
+    """Engine choice for ring degree d.  set_engine()/SPIRAL_NTT pin it;
+    otherwise the fused Pallas kernel on TPU hardware at its supported
+    degree (~2x the XLA four-step on v5e), the XLA four-step elsewhere."""
     import os
-    engine = os.environ.get("SPIRAL_NTT")
+    engine = _pinned_engine or os.environ.get("SPIRAL_NTT")
+    if engine is not None and engine not in _ENGINES:
+        raise ValueError(f"unknown NTT engine {engine!r}; one of {_ENGINES}")
     if engine is None:
         import jax
         from .ntt_pallas import D1, D2

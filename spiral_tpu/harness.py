@@ -97,37 +97,8 @@ def run_variant(name: str, params, rng, trials: int = 1,
     if not correct:
         import sys as _s
         d = (np.asarray(out) != np.asarray(want)).sum()
-        print(f"DEBUG {name} idx={idx} wrong={d}/{np.asarray(want).size} "
-              f"qseed={query.seed}", file=_s.stderr)
-        if pack:
-            r2, _ = server.process_query(query)
-            out2 = client.decode(r2)
-            print("DEBUG staged correct:",
-                  np.array_equal(out2, want), file=_s.stderr)
-            import jax.numpy as jnp
-            seed_ = jnp.int32(query.seed)
-            f_, g_ = server._stage_expand(seed_, query.packed_b)
-            qp_, qn_ = server._stage_conv(g_)
-            cts_ = server._stage_fdim(server._db_limbs, f_)
-            res_ = server._stage_fold(cts_, qp_, qn_)
-            rows_ = server._stage_pack(res_)
-            r3 = server._to_response(rows_)
-            print("DEBUG manual-stage correct:",
-                  np.array_equal(client.decode(r3), want), file=_s.stderr)
-            print("DEBUG resp equal f/s:",
-                  np.array_equal(resp.first_row, r2.first_row),
-                  np.array_equal(resp.rest_rows, r2.rest_rows),
-                  file=_s.stderr)
-            import hashlib
-            def _h(x):
-                return hashlib.md5(np.ascontiguousarray(
-                    np.asarray(x, dtype=np.uint64)).tobytes()).hexdigest()[:10]
-            print("DEBUG hashes pts", _h(pts),
-                  "vW", _h(pub.v_W),
-                  "pb", _h(query.packed_b),
-                  "first", _h(resp.first_row),
-                  "Sp", _h(client.keys.Sp_centered % (1<<32)),
-                  file=_s.stderr)
+        print(f"{name}: incorrect decode idx={idx} "
+              f"({d}/{np.asarray(want).size} coeffs wrong)", file=_s.stderr)
 
     item_b, resp_b = _item_resp_bytes(params, pack)
     db_b = params.total_n * item_b

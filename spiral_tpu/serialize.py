@@ -46,6 +46,9 @@ def response_from_bytes(data: bytes, params: Params, rows: int,
     return Response(first_row=first, rest_rows=rest)
 
 
+QUERY_MAGIC = b"SPQ2"   # v2: 8-byte NTT-engine tag between magic and seed
+
+
 def query_to_bytes(query: Query, params: Params) -> bytes:
     """Seed + b-polynomials, Garner-packed at logQ=56 bits/coefficient.
 
@@ -57,7 +60,7 @@ def query_to_bytes(query: Query, params: Params) -> bytes:
     from .arith.ntt import ntt_engine_name
     from .params import B_I, P_I
     eng = ntt_engine_name(params.poly_len).encode()[:8].ljust(8)
-    parts = [b"SPQ1", eng, int(query.seed).to_bytes(4, "little")]
+    parts = [QUERY_MAGIC, eng, int(query.seed).to_bytes(4, "little")]
     for field in (query.packed_b, query.first_b, query.gsw_b):
         if field is None:
             parts.append((0).to_bytes(4, "little"))
@@ -76,12 +79,19 @@ def query_from_bytes(data: bytes, params: Params) -> Query:
     from .params import B_I, P_I
     import jax.numpy as jnp
     from .arith.ntt import ntt_engine_name
-    assert data[:4] == b"SPQ1"
+    if data[:4] == b"SPQ1":
+        raise ValueError(
+            "query uses the retired SPQ1 wire format (no NTT-engine tag); "
+            "re-serialize it with this library version")
+    if data[:4] != QUERY_MAGIC:
+        raise ValueError(f"bad query magic {data[:4]!r}")
     eng = data[4:12].decode().strip()
     active = ntt_engine_name(params.poly_len)
-    assert eng == active, \
-        f"query was serialized under NTT engine {eng!r}; active engine " \
-        f"is {active!r} (slot orders differ)"
+    if eng != active:
+        raise ValueError(
+            f"query was serialized under NTT engine {eng!r}; active engine "
+            f"is {active!r} (slot orders differ) — pin both sides with "
+            f"spiral_tpu.arith.ntt.set_engine or SPIRAL_NTT")
     seed = int.from_bytes(data[12:16], "little")
     off = 16
     d = params.poly_len
@@ -125,7 +135,83 @@ def load_db(path: str):
     eng = meta.pop("__ntt_engine__", "mxu")
     params = Params(**meta)
     active = ntt_engine_name(params.poly_len)
-    assert eng == active, \
-        f"DB was encoded under NTT engine {eng!r}; active engine is " \
-        f"{active!r} (slot orders differ) — re-encode the DB"
+    if eng != active:
+        raise ValueError(
+            f"DB was encoded under NTT engine {eng!r}; active engine is "
+            f"{active!r} (slot orders differ) — re-encode the DB or pin "
+            f"the engine with spiral_tpu.arith.ntt.set_engine")
     return EncodedDb(data=jnp.asarray(data), params=params)
+
+
+# ---------------------------------------------------------------------------
+# Public parameters (offline upload).  The reference accounts these via
+# add_pub_param (src/spiral.cpp runConversionImproved) but never serializes
+# them; here they get a real wire format so a CPU/GPU client can ship key
+# material to a TPU server.  All matrices are NTT-domain, so the engine tag
+# is checked on load (ADVICE r2: untagged NTT-domain channels decode wrong).
+
+PUB_MAGIC = b"SPP1"
+
+
+def public_params_to_bytes(pub) -> bytes:
+    """Serialize PublicParams (pir) or PackPublicParams (pack)."""
+    from .arith.ntt import ntt_engine_name
+    import io
+    d = None
+    fields = {}
+    for name in ("W_exp_left", "W_exp_right", "W_conv", "V", "v_W"):
+        v = getattr(pub, name, None)
+        if v is None:
+            continue
+        if isinstance(v, (list, tuple)):
+            arr = np.stack([np.asarray(getattr(w, "data", w)) for w in v]) \
+                if len(v) else np.zeros((0,), dtype=np.uint32)
+        else:
+            arr = np.asarray(getattr(v, "data", v))
+        fields[name] = arr
+        if arr.size:
+            d = arr.shape[-1]
+    eng = ntt_engine_name(d or 2048).encode()[:8].ljust(8)
+    buf = io.BytesIO()
+    np.savez(buf, **fields)
+    payload = buf.getvalue()
+    return PUB_MAGIC + eng + len(payload).to_bytes(8, "little") + payload
+
+
+def public_params_from_bytes(data: bytes, params: Params):
+    """Returns a PublicParams (or PackPublicParams if v_W present)."""
+    from .arith.ntt import ntt_engine_name
+    import io
+    import jax.numpy as jnp
+    from .core.poly import PolyMat
+    if data[:4] != PUB_MAGIC:
+        raise ValueError(f"bad public-params magic {data[:4]!r}")
+    eng = data[4:12].decode().strip()
+    active = ntt_engine_name(params.poly_len)
+    if eng != active:
+        raise ValueError(
+            f"public params were serialized under NTT engine {eng!r}; "
+            f"active engine is {active!r} (slot orders differ)")
+    plen = int.from_bytes(data[12:20], "little")
+    z = np.load(io.BytesIO(data[20:20 + plen]))
+
+    def mats(name):
+        if name not in z:
+            return None
+        arr = z[name]
+        return [PolyMat(jnp.asarray(a), ntt=True) for a in arr] or None
+
+    def mat(name):
+        return (PolyMat(jnp.asarray(z[name]), ntt=True)
+                if name in z else None)
+
+    if "v_W" in z:
+        from .pack import PackPublicParams
+        return PackPublicParams(
+            v_W=jnp.asarray(z["v_W"]),
+            W_exp_left=mats("W_exp_left"), W_exp_right=mats("W_exp_right"),
+            V=mat("V"), size_bytes=len(data))
+    from .crypto.publicparams import PublicParams
+    return PublicParams(
+        W_exp_left=mats("W_exp_left"), W_exp_right=mats("W_exp_right"),
+        W_conv=mat("W_conv"), V=mat("V"), size_bytes=len(data))

@@ -6,4 +6,7 @@ import jax
 
 # Tests run on the CPU backend with 8 virtual devices so sharding paths are
 # exercised without a pod (SURVEY.md section 4 note on multi-host testing).
-jax.config.update("jax_platforms", "cpu")
+# SPIRAL_TEST_TPU=1 keeps the real backend so hardware-only paths (the
+# Mosaic-compiled Pallas kernels) get unit-test coverage on a TPU machine.
+if not os.environ.get("SPIRAL_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")

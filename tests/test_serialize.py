@@ -54,3 +54,43 @@ def test_db_checkpoint(tmp_path):
     back = load_db(str(tmp_path / "db"))
     np.testing.assert_array_equal(np.asarray(back.data), np.asarray(db.data))
     assert back.params == p
+
+
+def test_query_old_format_rejected():
+    import pytest
+    p = preset("tiny")
+    with pytest.raises(ValueError, match="SPQ1"):
+        query_from_bytes(b"SPQ1" + b"\x00" * 32, p)
+    with pytest.raises(ValueError, match="magic"):
+        query_from_bytes(b"XXXX" + b"\x00" * 32, p)
+
+
+def test_public_params_roundtrip():
+    from spiral_tpu.pir import SpiralClient
+    from spiral_tpu.serialize import (public_params_from_bytes,
+                                      public_params_to_bytes)
+    p = preset("tiny")
+    client = SpiralClient(p, seed=3)
+    pub = client.setup()
+    blob = public_params_to_bytes(pub)
+    back = public_params_from_bytes(blob, p)
+    np.testing.assert_array_equal(np.asarray(back.W_conv.data),
+                                  np.asarray(pub.W_conv.data))
+    np.testing.assert_array_equal(np.asarray(back.V.data),
+                                  np.asarray(pub.V.data))
+    assert len(back.W_exp_left) == len(pub.W_exp_left)
+    for a, b in zip(back.W_exp_right, pub.W_exp_right):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
+def test_pack_public_params_roundtrip():
+    from spiral_tpu.pack import PackClient
+    from spiral_tpu.serialize import (public_params_from_bytes,
+                                      public_params_to_bytes)
+    p = preset("tiny_pack")
+    client = PackClient(p, seed=3)
+    pub = client.setup()
+    back = public_params_from_bytes(public_params_to_bytes(pub), p)
+    np.testing.assert_array_equal(np.asarray(back.v_W), np.asarray(pub.v_W))
+    np.testing.assert_array_equal(np.asarray(back.V.data),
+                                  np.asarray(pub.V.data))
