@@ -373,8 +373,62 @@ def fig_ablation(args) -> list:
     return rows
 
 
+def fig_dist(args) -> list:
+    """Multi-device scaling of the DB-dependent phase (row-sharded fdim +
+    distributed fold).  T(1)/(n*T(n)) per mesh size; every explicit cell
+    decode-checked.  On virtual CPU devices this validates the sharded
+    program (absolute efficiency is noisy — cores are shared); real
+    efficiency needs a pod slice (SURVEY.md §2.7, BASELINE.md)."""
+    import jax
+    from .params import Params, preset
+    from .pir import SpiralClient, SpiralServer
+    from .dist.shard import make_db_mesh
+    from .server.db import encode_db, random_db, random_implicit_db
+
+    if args.tiny:
+        params = Params(nu_1=2, nu_2=3, p_db=256, q_prime_bits=20, t_gsw=8,
+                        t_conv=4, t_exp=8, t_exp_right=8, poly_len=256)
+    else:
+        params = preset(args.preset or "spiral_20_256")
+    rng = np.random.default_rng(0)
+    client = SpiralClient(params, seed=1)
+    pub = client.setup()
+    implicit = getattr(args, "implicit", False)
+    if implicit:
+        db = random_implicit_db(params, rng, max_slab_bytes=args.slab_bytes)
+        pts = None
+    else:
+        pts = random_db(params, rng)
+        db = encode_db(pts, params)
+    idx = int(rng.integers(0, params.total_n))
+    query = client.query(idx)
+
+    sizes = [int(x) for x in args.devices.split(",")
+             if int(x) <= len(jax.devices())]
+    rows, t1 = [], None
+    for n in sizes:
+        mesh = make_db_mesh(jax.devices()[:n]) if n > 1 else None
+        server = SpiralServer(params, db, pub, mesh=mesh)
+        best = None
+        for _ in range(max(1, args.trials)):
+            resp, s = server.process_query_fused(query)
+            best = s if best is None else min(best, s)
+        correct = None
+        if pts is not None:
+            correct = bool(np.array_equal(client.decode(resp),
+                                          pts[idx].astype(object)))
+            assert correct, f"mesh size {n}: wrong record"
+        t1 = best if t1 is None else t1
+        rows.append({"devices": n, "server_s": round(best, 4),
+                     "correct": correct, "speedup": round(t1 / best, 3),
+                     "efficiency": round(t1 / (n * best), 3)})
+    _print_rows(rows, ("devices", "server_s", "speedup", "efficiency"))
+    return rows
+
+
 FIGURES = {
     "packingcomp": fig_packingcomp,
+    "dist": fig_dist,
     "table": fig_table,
     "ubench": fig_ubench,
     "asympcomp": fig_asympcomp,
@@ -397,6 +451,8 @@ def main() -> int:
     ap.add_argument("--logns", default="24,26,28")
     ap.add_argument("--slab-bytes", type=int, default=2 << 30)
     ap.add_argument("--max-query-mb", type=int, default=33)
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--implicit", action="store_true")
     args = ap.parse_args()
 
     import jax

@@ -196,6 +196,8 @@ def encode_pack_db(pts: np.ndarray, params: Params) -> EncodedDb:
     v = ntt.reshape(params.out_n ** 2, params.dim0, params.num_per, 2,
                     params.poly_len)
     v = v.transpose(0, 2, 1, 3, 4)                  # (T, num_per, dim0, 2, d)
+    from .server.db import bitrev_perm
+    v = v[:, jnp.asarray(bitrev_perm(params.num_per))]   # fold row order
     return EncodedDb(data=v[:, :, None, :, :, :], params=params)
 
 
@@ -217,24 +219,30 @@ def regev_to_simple_gsw(cv, V, params: Params):
     return out
 
 
-def fold_pack(cts_coeff, q_pos, q_neg, params: Params):
-    """cts_coeff: (T, num_per, 2, 1, 2, d) coeff.
+def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
+                     start_round: int = 0, num_rounds: int | None = None):
+    """cts_coeff: (T, m, 2, 1, 2, d) coeff, rows in bit-reversed
+    further-index order (adjacent pairing — see server/fold.py).
     q_pos/q_neg: (nu2, 2, 2*ell, 2, d) NTT.  Unsigned gadget decomposition
-    (ref: testing.cpp:596-624)."""
+    (ref: testing.cpp:596-624).  Returns the (T, m/2^rounds, ...) survivors."""
     eng = crt_ntt(params.poly_len)
     ell = params.t_gsw
-    num_per = cts_coeff.shape[1]
-    cur = 0
-    while num_per >= 2:
-        num_per //= 2
-        lo = cts_coeff[:, :num_per]
-        hi = cts_coeff[:, num_per:2 * num_per]
-        gl = eng.forward(gadget_invert_raw(lo, 2 * ell, 2))
-        gh = eng.forward(gadget_invert_raw(hi, 2 * ell, 2))
-        prod = add_raw(matmul_raw(q_neg[cur], gl), matmul_raw(q_pos[cur], gh))
+    m = cts_coeff.shape[1]
+    total = m.bit_length() - 1
+    rounds = total if num_rounds is None else num_rounds
+    for r in range(start_round, start_round + rounds):
+        m //= 2
+        g = eng.forward(gadget_invert_raw(cts_coeff, 2 * ell, 2))
+        prod = add_raw(matmul_raw(q_neg[r], g[:, 0::2]),
+                       matmul_raw(q_pos[r], g[:, 1::2]))
         cts_coeff = eng.inverse(prod)
-        cur += 1
-    return cts_coeff[:, 0]          # (T, 2, 1, 2, d)
+    return cts_coeff
+
+
+def fold_pack(cts_coeff, q_pos, q_neg, params: Params,
+              start_round: int = 0):
+    return fold_pack_rounds(cts_coeff, q_pos, q_neg, params,
+                            start_round=start_round)[:, 0]   # (T, 2, 1, 2, d)
 
 
 def pack_ciphertexts(result_cts, v_W, params: Params):
@@ -260,12 +268,18 @@ def pack_ciphertexts(result_cts, v_W, params: Params):
 
 
 class PackServer:
-    """Jitted per-stage pipeline (mirrors SpiralServer's structure)."""
+    """Jitted per-stage pipeline (mirrors SpiralServer's structure).
 
-    def __init__(self, params: Params, db: EncodedDb, pub: PackPublicParams):
+    With `mesh`, the database is row-sharded over (trial, num_per) groups:
+    the first-dim multiply runs with zero collectives per device shard
+    (see spiral_tpu.dist.shard)."""
+
+    def __init__(self, params: Params, db: EncodedDb, pub: PackPublicParams,
+                 mesh=None):
         self.params = params
         self.db = db
         self.pub = pub
+        self.mesh = mesh
         d = params.poly_len
         self._gadget_ntt = build_gadget(
             2, 2 * params.t_gsw, d).to_ntt().data
@@ -277,6 +291,9 @@ class PackServer:
         self._trials, self._num_per = T, num_per
         self._db_limbs = db_to_mxu_limbs(
             db.data.reshape(T * num_per, 1, params.dim0, 2, d))
+        if mesh is not None:
+            from .dist.shard import shard_db_limbs
+            self._db_limbs = shard_db_limbs(self._db_limbs, mesh)
         self._build_stages()
 
     def _build_stages(self):
@@ -319,10 +336,30 @@ class PackServer:
             q_neg = sub_raw(jnp.broadcast_to(gadget_ntt, q_pos.shape), q_pos)
             return q_pos, q_neg
 
+        mesh = self.mesh
+        if mesh is not None:
+            # DB-streaming multiply sharded over (trial, row) groups with
+            # zero collectives; the tiny per-row outputs are gathered and
+            # fold/pack run replicated (their cost is per-trial small —
+            # the DB-dependent scaling lives in the fdim stage)
+            import functools as _ft
+            from jax.sharding import PartitionSpec as _P
+            from .server.firstdim import multiply_query_by_db_mxu as _mxu
+
+            @_ft.partial(jax.shard_map, mesh=mesh,
+                         in_specs=(_P(None, None, None, "db"), _P()),
+                         out_specs=_P(), check_vma=False)
+            def _fdim_local(dbs, qk):
+                res = _mxu(dbs, qk)
+                return jax.lax.all_gather(res, "db", axis=3, tiled=True)
+
         def fdim(db_limbs, first):
             from .server.firstdim import multiply_query_by_db_mxu
             qk = first[:, :, 0]            # (K=dim0, C=ct rows, 2, d)
-            res = multiply_query_by_db_mxu(db_limbs, qk)  # (2, d, 2, T*np)
+            if mesh is not None:
+                res = _fdim_local(db_limbs, qk)
+            else:
+                res = multiply_query_by_db_mxu(db_limbs, qk)
             T, npr = self._trials, self._num_per
             v = res.reshape(2, p.poly_len, 2, T, npr)
             cts_ntt = v.transpose(3, 4, 2, 0, 1)[:, :, :, None]
@@ -347,10 +384,24 @@ class PackServer:
 
         # multi-query batch (same design as SpiralServer): DB streams once
         # per batch through a widened MXU lhs; everything else vmaps
+        if mesh is not None:
+            from .server.firstdim import (
+                multiply_query_by_db_mxu_batch as _mxu_b)
+
+            @_ft.partial(jax.shard_map, mesh=mesh,
+                         in_specs=(_P(None, None, None, "db"), _P()),
+                         out_specs=_P(), check_vma=False)
+            def _fdim_local_batch(dbs, qk_b):
+                res = _mxu_b(dbs, qk_b)
+                return jax.lax.all_gather(res, "db", axis=4, tiled=True)
+
         def fdim_batch(db_limbs, first_b):
             from .server.firstdim import multiply_query_by_db_mxu_batch
             qk = first_b[:, :, :, 0]       # (B, K=dim0, rows=2, 2, d)
-            res = multiply_query_by_db_mxu_batch(db_limbs, qk)
+            if mesh is not None:
+                res = _fdim_local_batch(db_limbs, qk)
+            else:
+                res = multiply_query_by_db_mxu_batch(db_limbs, qk)
             T, npr = self._trials, self._num_per
             B = qk.shape[0]
             v = res.reshape(2, p.poly_len, B, 2, T, npr)

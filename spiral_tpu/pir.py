@@ -33,7 +33,7 @@ from .server.firstdim import (db_to_mxu_limbs, finish_mxu_output,
                               multiply_query_by_db_implicit,
                               multiply_query_by_db_mxu,
                               multiply_query_by_db_mxu_batch, reorient_query)
-from .server.fold import fold_ciphertexts
+from .server.fold import fold_ciphertexts, fold_rounds
 
 
 class SpiralClient:
@@ -85,13 +85,22 @@ class ServerTimings:
 class SpiralServer:
     """Each pipeline stage is one jitted function (built lazily per server
     instance), so a query is a handful of device dispatches instead of
-    hundreds of eager ops — essential for TPU latency."""
+    hundreds of eager ops — essential for TPU latency.
+
+    With `mesh` (a 1-D jax.sharding.Mesh, axis "db"), the database is
+    row-sharded: each device holds num_per/n_dev first-dim rows and the
+    rate-limiting DB-streaming multiply runs with zero collectives; the
+    early fold rounds stay sharded and XLA SPMD inserts the (tiny) ct
+    exchanges as the surviving count drops below the mesh size
+    (SURVEY.md §2.7 — no reference counterpart, src/spiral.cpp:1231 is
+    single-core)."""
 
     def __init__(self, params: Params, db: EncodedDb | ImplicitDb,
-                 pub: PublicParams):
+                 pub: PublicParams, mesh=None):
         self.params = params
         self.db = db
         self.pub = pub
+        self.mesh = mesh
         d = params.poly_len
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
@@ -104,10 +113,22 @@ class SpiralServer:
             self._implicit_chunks = db.num_chunks
             self._db_limbs = db.slab_limbs
             self._fdim_u32 = False
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                if db.num_chunks % n_dev != 0:
+                    raise ValueError(
+                        f"implicit num_chunks {db.num_chunks} not divisible "
+                        f"by mesh size {n_dev}")
         else:
             self._implicit_chunks = 0
-            self._db_limbs = (db.data if self._fdim_u32
-                              else db_to_mxu_limbs(db.data))
+            if mesh is not None:
+                from .dist.shard import shard_db_limbs
+                self._fdim_u32 = False
+                self._db_limbs = shard_db_limbs(db_to_mxu_limbs(db.data),
+                                                mesh)
+            else:
+                self._db_limbs = (db.data if self._fdim_u32
+                                  else db_to_mxu_limbs(db.data))
         self._build_stages()
 
     def _build_stages(self):
@@ -141,6 +162,7 @@ class SpiralServer:
 
         n_chunks = self._implicit_chunks
         use_u32 = self._fdim_u32
+        mesh = self.mesh
 
         def fdim(db_limbs, C_reg):
             qk = reorient_query(C_reg)
@@ -156,6 +178,79 @@ class SpiralServer:
 
         def fold(cts_coeff, q_pos, q_neg):
             return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
+
+        if mesh is not None:
+            # Row-sharded serving: each device streams only its DB shard
+            # (zero-collective first-dim multiply) and runs the first
+            # log2(rows/device) fold rounds on local adjacent pairs (rows
+            # are bit-reversed — server/fold.py); the n_dev survivors are
+            # then gathered (one tiny ct each) and the last log2(n_dev)
+            # rounds finish replicated.  SURVEY.md §2.7.
+            import functools as _ft
+            from jax.sharding import PartitionSpec as _P
+            from .server.firstdim import _implicit_chunks_loop
+
+            n_db = mesh.shape["db"]
+            local_rows = p.num_per // n_db
+            r_loc = local_rows.bit_length() - 1
+            db_spec = _P() if n_chunks else _P(None, None, None, "db")
+
+            def _local_cts(dbs, qk):
+                """Per-device fdim + inverse NTT: (local_rows, n1, n2, 2, d)."""
+                if n_chunks:
+                    local_chunks = n_chunks // n_db
+                    i = jax.lax.axis_index("db")
+                    res = _implicit_chunks_loop(dbs, qk, local_chunks,
+                                                i * local_chunks)
+                else:
+                    res = multiply_query_by_db_mxu(dbs, qk)
+                return eng.inverse(finish_mxu_output(res, local_rows, p.n2))
+
+            # the whole DB-dependent phase runs in one shard_map: local
+            # fdim, local fold rounds, one tiny ct all-gather, then the
+            # last log2(n_db) rounds computed redundantly per device
+            # (check_vma off: the gathered tail is replicated by value)
+            @_ft.partial(jax.shard_map, mesh=mesh,
+                         in_specs=(db_spec, _P(), _P(), _P()),
+                         out_specs=_P(), check_vma=False)
+            def _fdim_fold_all(dbs, qk, q_pos, q_neg):
+                cts = _local_cts(dbs, qk)
+                surv = fold_rounds(cts, q_pos, q_neg, p, 0, r_loc)
+                gathered = jax.lax.all_gather(surv, "db", axis=0,
+                                              tiled=True)
+                return fold_ciphertexts(gathered, q_pos, q_neg, p,
+                                        start_round=r_loc)
+
+            def fdim_fold_sharded(db_limbs, C_reg, q_pos, q_neg):
+                return _fdim_fold_all(db_limbs, reorient_query(C_reg),
+                                      q_pos, q_neg)
+
+            self._fdim_fold_sharded = fdim_fold_sharded
+
+            @_ft.partial(jax.shard_map, mesh=mesh,
+                         in_specs=(db_spec, _P(), _P(), _P()),
+                         out_specs=_P(), check_vma=False)
+            def _fdim_fold_all_batch(dbs, qk_b, q_pos_b, q_neg_b):
+                res = multiply_query_by_db_mxu_batch(dbs, qk_b)
+                cts_b = eng.inverse(
+                    finish_mxu_output_batch(res, local_rows, p.n2))
+                surv_b = jax.vmap(
+                    lambda c, qp, qn: fold_rounds(c, qp, qn, p, 0, r_loc)
+                )(cts_b, q_pos_b, q_neg_b)              # (B, 1, ...)
+                gathered = jax.lax.all_gather(surv_b, "db", axis=1,
+                                              tiled=True)
+                return jax.vmap(
+                    lambda s, qp, qn: fold_ciphertexts(
+                        s, qp, qn, p, start_round=r_loc)
+                )(gathered, q_pos_b, q_neg_b)
+
+            def fdim_fold_sharded_batch(db_limbs, C_reg_b, q_pos_b,
+                                        q_neg_b):
+                return _fdim_fold_all_batch(
+                    db_limbs, jax.vmap(reorient_query)(C_reg_b),
+                    q_pos_b, q_neg_b)
+
+            self._fdim_fold_sharded_batch = fdim_fold_sharded_batch
 
         def modswitch(final):
             return modswitch_device(final, p)
@@ -182,12 +277,21 @@ class SpiralServer:
                     (-1,) + sl.shape[1:]))
             return parts[0], parts[1]
 
+        # mesh mode fuses the DB-dependent stages (sharded fdim + local
+        # fold rounds + replicated tail); single-device keeps them separate
+        def serve_db(db_limbs, C_reg, q_pos, q_neg):
+            if mesh is not None:
+                return self._fdim_fold_sharded(db_limbs, C_reg, q_pos,
+                                               q_neg)
+            return fold(fdim(db_limbs, C_reg), q_pos, q_neg)
+
         self._stage_expand = jax.jit(expand)
         self._stage_reconstruct = jax.jit(reconstruct_direct)
         self._stage_comp = jax.jit(comp)
         self._stage_conv = jax.jit(conv)
         self._stage_fdim = jax.jit(fdim)
         self._stage_fold = jax.jit(fold)
+        self._stage_serve_db = jax.jit(serve_db)
         self._stage_modswitch = jax.jit(modswitch)
 
         # whole-pipeline single-dispatch programs: over a remote-attached
@@ -196,16 +300,14 @@ class SpiralServer:
         # into ONE XLA program per query form
         def full_packed(db_limbs, seed, packed_b):
             first_scalars, gsw_scalars = expand(seed, packed_b)
-            return modswitch(fold(
-                fdim(db_limbs, comp(first_scalars)),
-                *conv(gsw_scalars)))
+            return modswitch(serve_db(
+                db_limbs, comp(first_scalars), *conv(gsw_scalars)))
 
         def full_direct(db_limbs, seed, first_b, gsw_b):
             first_scalars, gsw_scalars = reconstruct_direct(
                 seed, first_b, gsw_b)
-            return modswitch(fold(
-                fdim(db_limbs, comp(first_scalars)),
-                *conv(gsw_scalars)))
+            return modswitch(serve_db(
+                db_limbs, comp(first_scalars), *conv(gsw_scalars)))
 
         self._stage_full_packed = jax.jit(full_packed)
         self._stage_full_direct = jax.jit(full_direct)
@@ -221,12 +323,18 @@ class SpiralServer:
             cts_ntt = finish_mxu_output_batch(res, p.num_per, p.n2)
             return eng.inverse(cts_ntt)
 
+        def serve_db_batch(db_limbs, C_reg_b, q_pos_b, q_neg_b):
+            if mesh is not None:
+                return self._fdim_fold_sharded_batch(
+                    db_limbs, C_reg_b, q_pos_b, q_neg_b)
+            cts_b = fdim_batch(db_limbs, C_reg_b)
+            return jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+
         def full_packed_batch(db_limbs, seeds, packed_bs):
             first_b, gsw_b = jax.vmap(expand)(seeds, packed_bs)
             C_reg_b = jax.vmap(comp)(first_b)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_b)
-            cts_b = fdim_batch(db_limbs, C_reg_b)
-            finals = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            finals = serve_db_batch(db_limbs, C_reg_b, q_pos_b, q_neg_b)
             return jax.vmap(modswitch)(finals)
 
         def full_direct_batch(db_limbs, seeds, first_bs, gsw_bs):
@@ -234,8 +342,7 @@ class SpiralServer:
                 seeds, first_bs, gsw_bs)
             C_reg_b = jax.vmap(comp)(first_b)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_b)
-            cts_b = fdim_batch(db_limbs, C_reg_b)
-            finals = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            finals = serve_db_batch(db_limbs, C_reg_b, q_pos_b, q_neg_b)
             return jax.vmap(modswitch)(finals)
 
         self._stage_full_packed_batch = jax.jit(full_packed_batch)
@@ -253,6 +360,8 @@ class SpiralServer:
                 seed, query.first_b, query.gsw_b)
         C_reg = self._stage_comp(first_scalars)
         q_pos, q_neg = self._stage_conv(gsw_scalars)
+        if self.mesh is not None:
+            return self._stage_serve_db(self._db_limbs, C_reg, q_pos, q_neg)
         cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
         return self._stage_fold(cts_coeff, q_pos, q_neg)
 
@@ -297,15 +406,24 @@ class SpiralServer:
         t3 = tick()
         timings.conversion_us = (t3 - t2) * 1e6
 
-        cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
-        cts_coeff.block_until_ready()
-        t4 = tick()
-        timings.first_multiply_us = (t4 - t3) * 1e6
+        if self.mesh is not None:
+            # sharded serving fuses fdim + fold (per-device local rounds +
+            # replicated tail) — reported as one combined stage
+            final = self._stage_serve_db(self._db_limbs, C_reg, q_pos,
+                                         q_neg)
+            final.block_until_ready()
+            t5 = tick()
+            timings.first_multiply_us = (t5 - t3) * 1e6
+        else:
+            cts_coeff = self._stage_fdim(self._db_limbs, C_reg)
+            cts_coeff.block_until_ready()
+            t4 = tick()
+            timings.first_multiply_us = (t4 - t3) * 1e6
 
-        final = self._stage_fold(cts_coeff, q_pos, q_neg)
-        final.block_until_ready()
-        t5 = tick()
-        timings.folding_us = (t5 - t4) * 1e6
+            final = self._stage_fold(cts_coeff, q_pos, q_neg)
+            final.block_until_ready()
+            t5 = tick()
+            timings.folding_us = (t5 - t4) * 1e6
 
         # modulus switch (two-modulus response, on-device exact)
         first, rest = self._stage_modswitch(final)
@@ -320,8 +438,9 @@ class SpiralServer:
         (list[Response], seconds).  All queries must share the upload form
         (the Params fix it).  First call per batch size pays the compile."""
         assert queries, "empty batch"
-        assert not self._implicit_chunks and not self._fdim_u32, \
-            "batched serving requires the explicit MXU database layout"
+        if self._implicit_chunks or self._fdim_u32:
+            raise ValueError(
+                "batched serving requires the explicit MXU database layout")
         seeds = jnp.asarray([q.seed for q in queries], dtype=jnp.int32)
         tick = time.perf_counter
         if queries[0].packed_b is not None:

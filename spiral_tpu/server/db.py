@@ -10,6 +10,10 @@ first-dimension index contiguous in the contraction axis:
 which is the jnp-native analog of the reference's packed z-major layout
 (spiral.cpp:1138-1154); the contraction axis K = dim0*n0 feeds the
 first-dimension multiply directly.
+
+The num_per axis stores further-index ii at position bitrev(ii) so that
+GSW fold rounds pair ADJACENT rows (see server/fold.py) — the layout
+choice that makes folding shardable over a device mesh.
 """
 from __future__ import annotations
 
@@ -26,6 +30,15 @@ from ..arith.ntt import crt_ntt
 class EncodedDb:
     data: jnp.ndarray      # (num_per, n2, dim0*n0, 2, d) u32, NTT domain
     params: Params
+
+
+def bitrev_perm(n: int) -> np.ndarray:
+    """perm[pos] = further-index stored at pos (bit-reversal, self-inverse)."""
+    bits = n.bit_length() - 1
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        out[i] = int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+    return out
 
 
 def random_db(params: Params, rng: np.random.Generator) -> np.ndarray:
@@ -51,6 +64,8 @@ def encode_db_chunked(pts: np.ndarray, params: Params,
     small = p_db <= (1 << 15)
     dtype = np.int16 if small else np.int32
 
+    perm = jnp.asarray(bitrev_perm(num_per))
+
     @jax.jit
     def encode_block(centered):
         c = centered.astype(jnp.int32)      # |centered| <= p_db/2 < 2^19
@@ -61,8 +76,9 @@ def encode_db_chunked(pts: np.ndarray, params: Params,
         ntt = eng.forward(res)                  # (nb*num_per, n0, n2, 2, d)
         nb = centered.shape[0] // num_per
         t = ntt.reshape(nb, num_per, n0, n2, 2, d)
-        return t.transpose(1, 3, 0, 2, 4, 5).reshape(
+        t = t.transpose(1, 3, 0, 2, 4, 5).reshape(
             num_per, n2, nb * n0, 2, d)
+        return t[perm]                  # bit-reversed row order (fold.py)
 
     out = jnp.zeros((num_per, n2, dim0 * n0, 2, d), dtype=jnp.uint32)
     jb = max(1, chunk_items // num_per)
@@ -131,4 +147,5 @@ def encode_db(pts: np.ndarray, params: Params) -> EncodedDb:
     t = t.transpose(1, 3, 0, 2, 4, 5)
     t = t.reshape(params.num_per, params.n2, params.dim0 * params.n0, 2,
                   params.poly_len)
+    t = t[jnp.asarray(bitrev_perm(params.num_per))]   # fold.py row order
     return EncodedDb(data=t, params=params)

@@ -130,14 +130,9 @@ def multiply_query_by_db_mxu_batch(db_limbs, query_k_b) -> jnp.ndarray:
     return res.reshape(crt, d, B, n1, N // N_LIMBS)
 
 
-@functools.partial(jax.jit, static_argnames=("num_chunks",))
-def multiply_query_by_db_implicit(slab_limbs, query_k, num_chunks: int):
-    """Implicit-DB first-dim multiply (ref: spiral.cpp:647 kernel index
-    override under --random-data): stream the same slab `num_chunks` times,
-    writing each chunk's outputs to its own slice — the arithmetic and HBM
-    traffic per chunk match a real database pass.
-
-    slab_limbs: (2, d, K, slab_per*n2*4); returns (2, d, n1, num_per*n2)."""
+def _implicit_chunks_loop(slab_limbs, query_k, num_chunks: int, offset):
+    """Stream the slab `num_chunks` times starting at global chunk index
+    `offset` (traced), stacking each chunk's outputs."""
     crt, d, K, Ns = slab_limbs.shape
     n1 = query_k.shape[1]
     m_slab = Ns // N_LIMBS
@@ -147,13 +142,25 @@ def multiply_query_by_db_implicit(slab_limbs, query_k, num_chunks: int):
         # the slot-roll makes the body i-dependent so XLA's loop-invariant
         # code motion cannot hoist the matmul out of the loop (the slab is
         # random data; per-chunk results are never decoded in this mode)
-        qk = jnp.roll(query_k, i, axis=-1)
+        qk = jnp.roll(query_k, offset + i, axis=-1)
         res = multiply_query_by_db_mxu(slab_limbs, qk)
         return jax.lax.dynamic_update_index_in_dim(out, res, i, axis=0)
 
     out = jax.lax.fori_loop(0, num_chunks, body, out)
     return out.transpose(1, 2, 3, 0, 4).reshape(
         crt, d, n1, num_chunks * m_slab)
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks",))
+def multiply_query_by_db_implicit(slab_limbs, query_k, num_chunks: int):
+    """Implicit-DB first-dim multiply (ref: spiral.cpp:647 kernel index
+    override under --random-data): stream the same slab `num_chunks` times,
+    writing each chunk's outputs to its own slice — the arithmetic and HBM
+    traffic per chunk match a real database pass.
+
+    slab_limbs: (2, d, K, slab_per*n2*4); returns (2, d, n1, num_per*n2)."""
+    return _implicit_chunks_loop(slab_limbs, query_k, num_chunks,
+                                 jnp.int32(0))
 
 
 def finish_mxu_output(res, num_per: int, n2: int):

@@ -2,9 +2,18 @@
 foldOneFurtherDimension + split_and_crt + cpu_mul_query_by_ct).
 
 Each round halves the ciphertext count via the homomorphic mux
-C <- Q_neg (.) C_lo + Q (.) C_hi, where (.) is the external product
+C <- Q_neg (.) C_even + Q (.) C_odd, where (.) is the external product
 Q . G^{-1}_signed(C).  All per-round work is batched over the surviving
 ciphertexts; rounds are sequential (log2(num_per) of them).
+
+Ciphertext rows are stored in BIT-REVERSED further-index order (see
+server/db.py), so round s pairs ADJACENT cts (positions 2k, 2k+1) while
+still selecting bit (nu_2 - 1 - s) of the further index: position 2k has
+an even bit-reversed value, i.e. its further index has that bit 0.
+Adjacent pairing is what makes the fold shardable — on a row-sharded mesh
+the first log2(rows_per_device) rounds touch only local pairs (the
+standard distributed tree reduction), whereas the reference's
+(i, i + num_per/2) pairing would exchange half the cts every round.
 """
 from __future__ import annotations
 
@@ -16,23 +25,35 @@ from ..core.poly import add_raw, matmul_raw
 from ..core.gadget import gadget_invert_signed_raw
 
 
-def fold_ciphertexts(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
-                     q_neg: jnp.ndarray, params: Params) -> jnp.ndarray:
-    """cts_coeff: (num_per, n1, n2, 2, d) coeff domain.
+def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
+                q_neg: jnp.ndarray, params: Params, start_round: int = 0,
+                num_rounds: int | None = None) -> jnp.ndarray:
+    """Run `num_rounds` fold rounds (all remaining if None) starting at
+    global round index `start_round` (selects q_pos/q_neg slots).
+
+    cts_coeff: (m, n1, n2, 2, d) coeff domain, bit-reversed row order.
     q_pos/q_neg: (nu_2, n1, m2, 2, d) NTT domain, slot s selecting bit
     (nu_2 - 1 - s) of the further index.
-    Returns the single surviving ct (n1, n2, 2, d), coeff domain."""
+    Returns the (m / 2^num_rounds, n1, n2, 2, d) survivors."""
     eng = crt_ntt(params.poly_len)
-    num_per = cts_coeff.shape[0]
-    cur = 0
-    while num_per >= 2:
-        num_per //= 2
-        # one batched decomposition + NTT over both halves
-        ginv = gadget_invert_signed_raw(cts_coeff[:2 * num_per],
-                                        params.t_gsw, params.n1)
-        gn = eng.forward(ginv)          # (2*num_per, m2, n2, 2, d)
-        prod = add_raw(matmul_raw(q_neg[cur], gn[:num_per]),
-                       matmul_raw(q_pos[cur], gn[num_per:]))
+    m = cts_coeff.shape[0]
+    total = m.bit_length() - 1
+    rounds = total if num_rounds is None else num_rounds
+    for r in range(start_round, start_round + rounds):
+        m //= 2
+        # one batched decomposition + NTT over every surviving ct
+        ginv = gadget_invert_signed_raw(cts_coeff, params.t_gsw, params.n1)
+        gn = eng.forward(ginv)          # (2m, m2, n2, 2, d)
+        prod = add_raw(matmul_raw(q_neg[r], gn[0::2]),
+                       matmul_raw(q_pos[r], gn[1::2]))
         cts_coeff = eng.inverse(prod)
-        cur += 1
-    return cts_coeff[0]
+    return cts_coeff
+
+
+def fold_ciphertexts(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
+                     q_neg: jnp.ndarray, params: Params,
+                     start_round: int = 0) -> jnp.ndarray:
+    """Fold all the way down; returns the single surviving ct
+    (n1, n2, 2, d), coeff domain."""
+    return fold_rounds(cts_coeff, q_pos, q_neg, params,
+                       start_round=start_round)[0]

@@ -43,3 +43,102 @@ def test_sharded_firstdim_fold_matches_single_device():
     db_sharded = shard_db(jnp.asarray(db_u32), mesh)
     got = step(db_sharded, jnp.asarray(qk), q_pos, q_neg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+TINY8 = None
+
+
+def _tiny8():
+    """Tiny config with num_per=8 so rows shard over the 8 virtual devices."""
+    global TINY8
+    if TINY8 is None:
+        from spiral_tpu.params import Params
+        TINY8 = Params(nu_1=2, nu_2=3, p_db=256, q_prime_bits=20, t_gsw=8,
+                       t_conv=4, t_exp=8, t_exp_right=8, poly_len=256)
+    return TINY8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_server_full_pipeline_matches_and_decodes():
+    """The production mesh mode: row-sharded DB through the FULL pipeline
+    (expand -> comp -> conv -> sharded MXU fdim -> fold -> modswitch) gives
+    bit-identical responses to the single-device server, and decodes."""
+    from spiral_tpu.pir import SpiralClient, SpiralServer
+    from spiral_tpu.server.db import encode_db, random_db
+
+    params = _tiny8()
+    rng = np.random.default_rng(5)
+    pts = random_db(params, rng)
+    db = encode_db(pts, params)
+    client = SpiralClient(params, seed=2)
+    pub = client.setup()
+    idx = 19
+    query = client.query(idx)
+
+    ref_server = SpiralServer(params, db, pub)
+    resp_ref, _ = ref_server.process_query_fused(query)
+
+    mesh = make_db_mesh(jax.devices()[:8])
+    mesh_server = SpiralServer(params, db, pub, mesh=mesh)
+    resp_mesh, _ = mesh_server.process_query_fused(query)
+
+    np.testing.assert_array_equal(np.asarray(resp_mesh.first_row),
+                                  np.asarray(resp_ref.first_row))
+    np.testing.assert_array_equal(np.asarray(resp_mesh.rest_rows),
+                                  np.asarray(resp_ref.rest_rows))
+    out = client.decode(resp_mesh)
+    assert np.array_equal(out, pts[idx].astype(object))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_pack_server_matches_single_device():
+    from spiral_tpu.params import preset
+    from spiral_tpu.pack import PackClient, PackServer, encode_pack_db
+
+    params = preset("tiny_pack")      # T*num_per = 16 rows over 8 devices
+    rng = np.random.default_rng(6)
+    pts = rng.integers(0, params.p_db, size=(
+        params.total_n, params.out_n, params.out_n, params.poly_len),
+        dtype=np.int16)
+    db = encode_pack_db(pts, params)
+    client = PackClient(params, seed=2)
+    pub = client.setup()
+    idx = 7
+    query = client.query(idx)
+
+    resp_ref, _ = PackServer(params, db, pub).process_query_fused(query)
+    mesh = make_db_mesh(jax.devices()[:8])
+    resp_mesh, _ = PackServer(params, db, pub,
+                              mesh=mesh).process_query_fused(query)
+
+    np.testing.assert_array_equal(np.asarray(resp_mesh.first_row),
+                                  np.asarray(resp_ref.first_row))
+    np.testing.assert_array_equal(np.asarray(resp_mesh.rest_rows),
+                                  np.asarray(resp_ref.rest_rows))
+    assert np.array_equal(client.decode(resp_mesh), pts[idx].astype(object))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_implicit_db_matches_single_device():
+    """Sharded implicit (huge-DB) mode: chunk ranges split over devices
+    must reproduce the single-device chunk stream bit-exactly."""
+    from spiral_tpu.pir import SpiralClient, SpiralServer
+    from spiral_tpu.server.db import random_implicit_db
+
+    params = _tiny8()
+    rng = np.random.default_rng(7)
+    # slab covering 1 row -> num_chunks = 8, one per device
+    db = random_implicit_db(params, rng, max_slab_bytes=1)
+    assert db.num_chunks == 8
+    client = SpiralClient(params, seed=2)
+    pub = client.setup()
+    query = client.query(3)
+
+    resp_ref, _ = SpiralServer(params, db, pub).process_query_fused(query)
+    mesh = make_db_mesh(jax.devices()[:8])
+    resp_mesh, _ = SpiralServer(params, db, pub,
+                                mesh=mesh).process_query_fused(query)
+    np.testing.assert_array_equal(np.asarray(resp_mesh.first_row),
+                                  np.asarray(resp_ref.first_row))
+    np.testing.assert_array_equal(np.asarray(resp_mesh.rest_rows),
+                                  np.asarray(resp_ref.rest_rows))
