@@ -19,6 +19,11 @@ import numpy as np
 BASELINE_THROUGHPUT_MBPS = 165.7
 
 
+def _pt_dtype(params):
+    """Smallest int dtype that holds plaintext values in [0, p_db)."""
+    return np.int16 if params.p_db <= (1 << 15) else np.int32
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="spiral_20_256")
@@ -91,7 +96,7 @@ def main() -> int:
     t0 = time.time()
     if pack:
         pts = rng.integers(0, params.p_db, size=(
-            params.total_n, params.out_n, params.out_n, d), dtype=np.int16)
+            params.total_n, params.out_n, params.out_n, d), dtype=_pt_dtype(params))
         db = encode_pack_db(pts, params)
         server = PackServer(params, db, pub)
         db.data.block_until_ready()
@@ -105,7 +110,7 @@ def main() -> int:
     else:
         pts = rng.integers(0, params.p_db,
                            size=(params.total_n, params.n0, params.n2, d),
-                           dtype=np.int16)
+                           dtype=_pt_dtype(params))
         db = encode_db_chunked(pts, params)
         server = SpiralServer(params, db, pub)
         db.data.block_until_ready()
@@ -172,9 +177,7 @@ def main() -> int:
     server._run_single(stream[0])[1].block_until_ready()   # warm
     t0 = time.perf_counter()
     outs = [server._run_single(qq) for qq in stream]
-    for first_r, rest_r in outs:
-        rest_r.block_until_ready()
-        first_r.block_until_ready()
+    jax.device_get(outs)      # sync: every response fetched to the host
     # reported separately from best_s: the baseline (vs_baseline) was
     # measured per single query, so the RTT-amortized pipelined number
     # must not silently change the headline's semantics (ADVICE r2)

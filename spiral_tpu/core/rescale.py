@@ -34,9 +34,9 @@ def rescale_residues_device(x_p, x_b, out_mod: int):
     floor((v*c + Q//2) / Q) is exact; ref: src/poly.cpp:578-601).
 
     All arithmetic is u32 multiword: N = v*c + Q//2 as three 32-bit words,
-    then floor(N / Q) by binary search over the <= 2^22-bit quotient
-    (22 fused compare/select steps — the response is only n1*n2*d
-    coefficients, so this costs microseconds on the VPU).
+    then floor(N / Q) by binary search over the quotient bits (one fused
+    compare/select step per output-modulus bit — the response is only
+    n1*n2*d coefficients, so this costs microseconds on the VPU).
     """
     import jax.numpy as jnp
 
@@ -44,7 +44,8 @@ def rescale_residues_device(x_p, x_b, out_mod: int):
     from ..arith.u32 import mul32_wide
 
     c = int(out_mod)
-    assert c < (1 << 22)
+    assert c < (1 << 31), "quotient must fit a u32 lane"
+    qbits = c.bit_length()
     hi, lo = lift_pair(x_p, x_b)                   # v < Q < 2^56
     cc = jnp.uint32(c)
     h1, w0 = mul32_wide(lo, cc)
@@ -61,7 +62,7 @@ def rescale_residues_device(x_p, x_b, out_mod: int):
 
     Ql, Qh = jnp.uint32(Q & 0xFFFFFFFF), jnp.uint32(Q >> 32)
     y = jnp.zeros_like(x_p)
-    for bit in range(21, -1, -1):
+    for bit in range(qbits - 1, -1, -1):
         cand = y | jnp.uint32(1 << bit)
         p0h, p0l = mul32_wide(cand, Ql)
         p1h, p1l = mul32_wide(cand, Qh)

@@ -40,6 +40,11 @@ def get_cost(total_us: float, resp_bytes: int) -> float:
     return USD_PER_US * total_us + USD_PER_BYTE * resp_bytes
 
 
+def _pt_dtype(params):
+    """Smallest int dtype that holds plaintext values in [0, p_db)."""
+    return np.int16 if params.p_db <= (1 << 15) else np.int32
+
+
 def _item_resp_bytes(params, pack: bool):
     logp = int(math.log2(params.p_db))
     if pack:
@@ -66,7 +71,7 @@ def run_variant(name: str, params, rng, trials: int = 1,
         key_gen_s = time.time() - t_kg0
         pts = rng.integers(0, params.p_db, size=(
             params.total_n, params.out_n, params.out_n, params.poly_len),
-            dtype=np.int16)
+            dtype=_pt_dtype(params))
         server = PackServer(params, encode_pack_db(pts, params), pub)
         want = pts[idx].astype(object)
     else:
@@ -78,7 +83,7 @@ def run_variant(name: str, params, rng, trials: int = 1,
         key_gen_s = time.time() - t_kg0
         pts = rng.integers(0, params.p_db, size=(
             params.total_n, params.n0, params.n2, params.poly_len),
-            dtype=np.int16)
+            dtype=_pt_dtype(params))
         server = SpiralServer(params, encode_db_chunked(pts, params), pub)
         want = pts[idx].astype(object)
     setup_s = time.time() - t_setup0
@@ -202,9 +207,39 @@ def fig_packingcomp(args) -> list:
 
 
 def fig_table(args) -> list:
+    """Main comparison table (ref: run_all.py:28-32 scenarios_table):
+    Spiral variants measured on this backend, plus SealPIR / FastPIR /
+    OnionPIR / NoPriv columns via the run_scheme adapters.  Competitor
+    binaries are external (env SEALPIR_BIN / FASTPIR_BIN / ONIONPIR_BIN);
+    absent systems produce a clean `available: false` cell instead of
+    aborting the figure (SystemUnavailable)."""
+    from .run_scheme import SystemUnavailable, get_pp_size, run_system_tr
+
     rows = fig_packingcomp(args)
+    scenario = "tiny" if args.tiny else "(20, 256)"
     for r in rows:
-        r["scenario"] = "tiny" if args.tiny else "(20, 256)"
+        r["scenario"] = scenario
+    log_n, itemsize = (4, 256) if args.tiny else (20, 256)
+    for system in ("sealpir", "fastpir", "onionpir", "nopriv"):
+        cell = {"variant": system, "scenario": scenario}
+        try:
+            res = run_system_tr(system, log_n, itemsize,
+                                trials=args.trials)
+            cell.update({
+                "available": True,
+                "query_b": res.get("query_sz", 0),
+                "pub_b": get_pp_size(system, res) if system != "nopriv"
+                else 0,
+                "resp_b": res["resp_sz"],
+                "rate": round(itemsize / res["resp_sz"], 4)
+                if res["resp_sz"] else None,
+                "server_s": round(res["total_us"] / 1e6, 4),
+                "cost_usd": round(get_cost(res["total_us"],
+                                           res["resp_sz"]), 9),
+            })
+        except SystemUnavailable as e:
+            cell.update({"available": False, "reason": str(e)})
+        rows.append(cell)
     return rows
 
 
@@ -440,6 +475,60 @@ FIGURES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Result persistence + rendering (ref: run_all.py:82-94 pickle/--load,
+# :206-232 LaTeX/plain tabulate).  Results are saved as JSON per figure so
+# figures can be re-rendered (or post-processed) without re-running.
+
+RESULTS_DIR = "results"
+
+
+def save_results(figure: str, rows: list, results_dir: str = RESULTS_DIR):
+    import pathlib
+    p = pathlib.Path(results_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    path = p / f"{figure}_results.json"
+    path.write_text(json.dumps(rows, indent=1, default=str))
+    return str(path)
+
+
+def load_results(figure: str, results_dir: str = RESULTS_DIR) -> list:
+    import pathlib
+    path = pathlib.Path(results_dir) / f"{figure}_results.json"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"no saved results for '{figure}' in {results_dir}; run the "
+            f"figure first")
+    return json.loads(path.read_text())
+
+
+def render_table(rows: list, fmt: str = "plain") -> str:
+    """Render result rows as a plain or LaTeX table (ref:
+    run_all.py:206-232)."""
+    if not rows:
+        return ""
+    cols = []
+    for r in rows:
+        for k in r:
+            if k not in cols and not isinstance(r[k], (dict, list)):
+                cols.append(k)
+    cells = [[("" if r.get(c) is None else str(r.get(c, "")))
+              for c in cols] for r in rows]
+    if fmt == "latex":
+        lines = ["\\begin{tabular}{" + "l" * len(cols) + "}", "\\hline",
+                 " & ".join(c.replace("_", "\\_") for c in cols) +
+                 " \\\\", "\\hline"]
+        lines += [" & ".join(row) + " \\\\" for row in cells]
+        lines += ["\\hline", "\\end{tabular}"]
+        return "\n".join(lines)
+    widths = [max(len(cols[i]), *(len(row[i]) for row in cells))
+              for i in range(len(cols))]
+    lines = ["  ".join(c.ljust(w) for c, w in zip(cols, widths))]
+    lines += ["  ".join(v.ljust(w) for v, w in zip(row, widths))
+              for row in cells]
+    return "\n".join(lines)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("figure", nargs="?", default="packingcomp",
@@ -453,14 +542,30 @@ def main() -> int:
     ap.add_argument("--max-query-mb", type=int, default=33)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--implicit", action="store_true")
+    ap.add_argument("--load", action="store_true",
+                    help="re-render saved results instead of re-running "
+                         "(ref: run_all.py --load)")
+    ap.add_argument("--results-dir", default=RESULTS_DIR)
+    ap.add_argument("--format", choices=("json", "plain", "latex"),
+                    default="json")
     args = ap.parse_args()
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/spiral_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.load:
+        rows = load_results(args.figure, args.results_dir)
+    else:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/spiral_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        rows = FIGURES[args.figure](args)
+        path = save_results(args.figure, rows, args.results_dir)
+        print(f"saved: {path}", file=sys.stderr)
 
-    rows = FIGURES[args.figure](args)
-    print(json.dumps(rows))
+    if args.format == "json":
+        print(json.dumps(rows))
+    else:
+        print(render_table(rows, args.format))
     return 0
 
 

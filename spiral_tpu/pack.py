@@ -232,9 +232,11 @@ def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
     rounds = total if num_rounds is None else num_rounds
     for r in range(start_round, start_round + rounds):
         m //= 2
-        g = eng.forward(gadget_invert_raw(cts_coeff, 2 * ell, 2))
-        prod = add_raw(matmul_raw(q_neg[r], g[:, 0::2]),
-                       matmul_raw(q_pos[r], g[:, 1::2]))
+        pairs = jnp.concatenate([cts_coeff[:, 0::2], cts_coeff[:, 1::2]],
+                                axis=1)
+        g = eng.forward(gadget_invert_raw(pairs, 2 * ell, 2))
+        prod = add_raw(matmul_raw(q_neg[r], g[:, :m]),
+                       matmul_raw(q_pos[r], g[:, m:]))
         cts_coeff = eng.inverse(prod)
     return cts_coeff
 
@@ -483,9 +485,7 @@ class PackServer:
                 self._db_limbs, seeds, firsts, gsws)
         run()[1].block_until_ready()       # warm/compile
         t0 = time.perf_counter()
-        first_b, rest_b = run()
-        rest_b.block_until_ready()
-        first_b.block_until_ready()
+        first_b, rest_b = jax.device_get(run())   # timed until host fetch
         dt = time.perf_counter() - t0
         responses = [self._to_response((first_b[i], rest_b[i]))
                      for i in range(len(queries))]
@@ -505,11 +505,11 @@ class PackServer:
         return self._stage_pack(self._stage_fold(cts, q_pos, q_neg))
 
     def process_query_fused(self, query: Query):
-        """Async-chained pipeline (one host round trip + device compute)."""
+        """Async-chained pipeline (one host round trip + device compute).
+        Timed until the response rows reach the host (see
+        SpiralServer.process_query_fused)."""
         self._run_single(query)[1].block_until_ready()   # warm/compile
         t0 = time.perf_counter()
-        rows = self._run_single(query)
-        rows[1].block_until_ready()
-        rows[0].block_until_ready()
+        rows = jax.device_get(self._run_single(query))
         t1 = time.perf_counter()
         return self._to_response(rows), (t1 - t0)

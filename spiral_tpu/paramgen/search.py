@@ -92,8 +92,40 @@ def select_params(log_n: int, item_size_bytes: int, *,
                   out_n_choices=(2, 4), d: int = 2048) -> Selected:
     """Pick scheme parameters for a database of 2^log_n items of
     item_size_bytes each (the select_params.py CLI contract; constraint
-    predicates and --optimize-for mirror ref select_params.py:280-330)."""
+    predicates and --optimize-for mirror ref select_params.py:280-330).
+
+    Candidates come from the committed sweep artifact (paramgen/sweep.py,
+    the counterpart of the reference's all_params*.pkl — full space, p up
+    to 2^20, dense t_GSW, Pareto-pruned) when present; a live model
+    enumeration over a reduced space is the fallback."""
+    from .sweep import load_artifact
+    art = load_artifact() if d == 2048 else None
     best: Selected | None = None
+    if art is not None:
+        import numpy as np
+        variant = (1 if direct_upload else 0) + (2 if pack else 0)
+        m = art["variant"] == variant
+        if pack:
+            m &= np.isin(art["out_n"], np.asarray(out_n_choices))
+        idx = np.nonzero(m)[0]
+        cols = (art["p_log"], art["nu_1"], art["nu_2"], art["t_gsw"],
+                art["t_conv"], art["t_exp"], art["out_n"],
+                art["qp_bits"], art["p_err_bits"])
+        for i in idx:
+            p_log, nu_1, nu_2, t_gsw, t_conv, t_exp, out_n, qb, pe = (
+                int(c[i]) if c.dtype.kind == "i" else float(c[i])
+                for c in cols)
+            cand = _try_candidate(
+                log_n, item_size_bytes, 1 << p_log, nu_1, nu_2, t_gsw,
+                t_conv, t_exp, out_n, d, direct_upload, pack,
+                max_query_bytes, max_param_bytes, max_total_query_bytes,
+                optimize_for, noise_result=(pe, qb))
+            if cand and (best is None or cand.cost < best.cost):
+                best = cand
+        if best is None:
+            raise ValueError("no parameter set satisfies the constraints")
+        return best
+
     t_choices = (2, 4, 8, 16, 32, 56)
     for p_log in range(2, 17):
         p_db = 1 << p_log
@@ -126,7 +158,7 @@ _NOISE_CACHE: dict[tuple, tuple[float, int] | None] = {}
 def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
                    t_exp, out_n, d, direct_upload, pack, max_query_bytes,
                    max_param_bytes=None, max_total_query_bytes=None,
-                   optimize_for=""):
+                   optimize_for="", noise_result=None):
     qe_first = (1 << nu_1) if direct_upload else 1
     qe_rest = nu_2 * t_gsw if direct_upload else 0
     base = Params(nu_1=nu_1, nu_2=nu_2, p_db=p_db, q_prime_bits=20,
@@ -142,15 +174,18 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
     records_needed = math.ceil((1 << log_n) * item_size_bytes / rec)
     if (1 << (nu_1 + nu_2)) * factor < records_needed:
         return None
-    ck = (p_db, nu_1, nu_2, t_gsw, t_conv, t_exp, out_n, d,
-          direct_upload, pack)
-    if ck in _NOISE_CACHE:
-        res = _NOISE_CACHE[ck]
+    if noise_result is not None:
+        res = noise_result
     else:
-        res = candidate_ok(base, pack)
-        _NOISE_CACHE[ck] = res
-    if res is None:
-        return None
+        ck = (p_db, nu_1, nu_2, t_gsw, t_conv, t_exp, out_n, d,
+              direct_upload, pack)
+        if ck in _NOISE_CACHE:
+            res = _NOISE_CACHE[ck]
+        else:
+            res = candidate_ok(base, pack)
+            _NOISE_CACHE[ck] = res
+        if res is None:
+            return None
     pe, qbits = res
     params = dataclasses.replace(base, q_prime_bits=qbits)
     if max_query_bytes is not None and \

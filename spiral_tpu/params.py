@@ -220,34 +220,62 @@ class Params:
         assert self.arb_qprime != 0, "unsupported q_prime_bits"
 
 
-# Known-good parameter presets mirroring the paper's scenario choices
-# (ref: all_parameter_choices.txt:67-98,658-719).
+# Parameter presets for the paper's scenarios.  The primary presets are
+# REGENERATED from the committed parameter-search artifact
+# (python -m spiral_tpu.paramgen.sweep; selection via
+# paramgen.search.select_params) and pass the 2^-40 correctness model
+# (paramgen/noise.py, bit-exact vs the reference model — verified by
+# tests/test_paramgen.py).  The `*_paper` aliases carry the reference's
+# recorded choices (ref: all_parameter_choices.txt:67-98,658-719) for
+# baseline comparability; note the paper's (20,256) Spiral choice
+# (t_gsw=8, q'=2^20) predates a noise-model revision and evaluates to
+# p_err ~ 2^-14 under the current (reference) model.
 PRESETS = {
-    # 2^20 x 256 B scenarios (items packed into n0*n2 poly records)
-    "spiral_20_256": Params(nu_1=8, nu_2=7, p_db=256, q_prime_bits=20,
-                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
-    "spiralstream_20_256": Params(nu_1=9, nu_2=6, p_db=256, q_prime_bits=19,
-                                  t_gsw=5, t_conv=4, t_exp=2, t_exp_right=2,
+    # 2^20 x 256 B scenarios (items packed into n0*n2 poly records),
+    # model-selected (see above; artifact rows carry p_err <= 2^-40)
+    "spiral_20_256": Params(nu_1=8, nu_2=7, p_db=256, q_prime_bits=22,
+                            t_gsw=9, t_conv=4, t_exp=8, t_exp_right=56),
+    "spiralstream_20_256": Params(nu_1=9, nu_2=6, p_db=256, q_prime_bits=20,
+                                  t_gsw=5, t_conv=4, t_exp=8, t_exp_right=56,
                                   query_elems_first=1 << 9,
                                   query_elems_rest=6 * 5),
-    "spiralpack_20_256": Params(nu_1=9, nu_2=6, p_db=256, q_prime_bits=20,
-                                t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56,
-                                out_n=2),
-    "spiralstreampack_20_256": Params(nu_1=10, nu_2=3, p_db=1024,
-                                      q_prime_bits=21, t_gsw=2, t_conv=56,
+    "spiralpack_20_256": Params(nu_1=6, nu_2=7, p_db=256, q_prime_bits=20,
+                                t_gsw=9, t_conv=4, t_exp=8, t_exp_right=56,
+                                out_n=4),
+    "spiralstreampack_20_256": Params(nu_1=6, nu_2=6, p_db=65536,
+                                      q_prime_bits=28, t_gsw=3, t_conv=56,
                                       t_exp=56, t_exp_right=56, out_n=4,
-                                      query_elems_first=1 << 10,
-                                      query_elems_rest=3 * 2),
+                                      query_elems_first=1 << 6,
+                                      query_elems_rest=6 * 3),
+    # the paper's recorded parameter choices (baseline parity)
+    "spiral_20_256_paper": Params(nu_1=8, nu_2=7, p_db=256, q_prime_bits=20,
+                                  t_gsw=8, t_conv=4, t_exp=8,
+                                  t_exp_right=56),
+    "spiralstream_20_256_paper": Params(nu_1=9, nu_2=6, p_db=256,
+                                        q_prime_bits=19, t_gsw=5, t_conv=4,
+                                        t_exp=2, t_exp_right=2,
+                                        query_elems_first=1 << 9,
+                                        query_elems_rest=6 * 5),
+    "spiralpack_20_256_paper": Params(nu_1=9, nu_2=6, p_db=256,
+                                      q_prime_bits=20, t_gsw=8, t_conv=4,
+                                      t_exp=8, t_exp_right=56, out_n=2),
+    "spiralstreampack_20_256_paper": Params(nu_1=10, nu_2=3, p_db=1024,
+                                            q_prime_bits=21, t_gsw=2,
+                                            t_conv=56, t_exp=56,
+                                            t_exp_right=56, out_n=4,
+                                            query_elems_first=1 << 10,
+                                            query_elems_rest=3 * 2),
     # Huge-database timing configs (implicit working-set mode, ref:
-    # --random-data): 2^26 / 2^28 x 256 B items = 2^21 / 2^23 records.
-    "spiral_22_256": Params(nu_1=9, nu_2=8, p_db=256, q_prime_bits=20,
-                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
-    "spiral_24_256": Params(nu_1=10, nu_2=9, p_db=256, q_prime_bits=20,
-                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
-    "spiral_26_256": Params(nu_1=10, nu_2=11, p_db=256, q_prime_bits=20,
-                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
-    "spiral_28_256": Params(nu_1=11, nu_2=12, p_db=256, q_prime_bits=20,
-                            t_gsw=8, t_conv=4, t_exp=8, t_exp_right=56),
+    # --random-data): 2^22..2^28 x 256 B items = 2^18..2^24 records.
+    # Model-selected like the headline presets (all pass the 2^-40 bar).
+    "spiral_22_256": Params(nu_1=9, nu_2=9, p_db=256, q_prime_bits=22,
+                            t_gsw=11, t_conv=4, t_exp=8, t_exp_right=56),
+    "spiral_24_256": Params(nu_1=9, nu_2=11, p_db=256, q_prime_bits=22,
+                            t_gsw=11, t_conv=4, t_exp=16, t_exp_right=56),
+    "spiral_26_256": Params(nu_1=10, nu_2=12, p_db=256, q_prime_bits=22,
+                            t_gsw=12, t_conv=4, t_exp=16, t_exp_right=56),
+    "spiral_28_256": Params(nu_1=11, nu_2=13, p_db=256, q_prime_bits=22,
+                            t_gsw=13, t_conv=4, t_exp=32, t_exp_right=56),
     # small/fast configs for tests
     "tiny": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                    t_conv=4, t_exp=8, t_exp_right=8, poly_len=256),
@@ -261,6 +289,14 @@ PRESETS = {
     "tiny_pack": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
                         t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
                         out_n=2),
+    "tiny_pack4": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20, t_gsw=8,
+                         t_conv=4, t_exp=8, t_exp_right=8, poly_len=256,
+                         out_n=4),
+    "tiny_stream_pack_bigp": Params(nu_1=2, nu_2=2, p_db=65536,
+                                    q_prime_bits=28, t_gsw=8, t_conv=16,
+                                    t_exp=8, t_exp_right=8, poly_len=256,
+                                    out_n=4, query_elems_first=4,
+                                    query_elems_rest=16),
     "tiny_stream_pack": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20,
                                t_gsw=8, t_conv=4, t_exp=8, t_exp_right=8,
                                poly_len=256, out_n=2,

@@ -454,9 +454,7 @@ class SpiralServer:
                 self._db_limbs, seeds, firsts, gsws)
         run()[1].block_until_ready()     # warm/compile
         t0 = tick()
-        first_b, rest_b = run()
-        rest_b.block_until_ready()
-        first_b.block_until_ready()
+        first_b, rest_b = jax.device_get(run())   # timed until host fetch
         dt = tick() - t0
         responses = [response_from_device_rows(first_b[i], rest_b[i])
                      for i in range(len(queries))]
@@ -464,13 +462,15 @@ class SpiralServer:
 
     def process_query_fused(self, query: Query):
         """Async-chained pipeline; returns (Response, server_seconds).
-        The first call pays stage compiles; callers should warm up."""
+        The first call pays stage compiles; callers should warm up.
+        The timed window ends when the response rows have REACHED THE
+        HOST (device_get), not at block_until_ready — the latter
+        under-reports over a remote-attached TPU tunnel, and a served
+        response must cross to the host anyway."""
         tick = time.perf_counter
         self._run_single(query)[1].block_until_ready()   # warm/compile
         t0 = tick()
-        first, rest = self._run_single(query)
-        rest.block_until_ready()
-        first.block_until_ready()
+        first, rest = jax.device_get(self._run_single(query))
         t1 = tick()
         return response_from_device_rows(first, rest), (t1 - t0)
 

@@ -41,11 +41,14 @@ def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
     rounds = total if num_rounds is None else num_rounds
     for r in range(start_round, start_round + rounds):
         m //= 2
-        # one batched decomposition + NTT over every surviving ct
-        ginv = gadget_invert_signed_raw(cts_coeff, params.t_gsw, params.n1)
+        # de-interleave BEFORE the gadget decomposition: the strided copy
+        # touches the small ct tensor, not the t_gsw-times-larger digit
+        # tensor, and everything downstream is contiguous
+        pairs = jnp.concatenate([cts_coeff[0::2], cts_coeff[1::2]])
+        ginv = gadget_invert_signed_raw(pairs, params.t_gsw, params.n1)
         gn = eng.forward(ginv)          # (2m, m2, n2, 2, d)
-        prod = add_raw(matmul_raw(q_neg[r], gn[0::2]),
-                       matmul_raw(q_pos[r], gn[1::2]))
+        prod = add_raw(matmul_raw(q_neg[r], gn[:m]),
+                       matmul_raw(q_pos[r], gn[m:]))
         cts_coeff = eng.inverse(prod)
     return cts_coeff
 

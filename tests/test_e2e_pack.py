@@ -32,3 +32,15 @@ def test_streampack_e2e(nonoise):
 def test_pack_e2e(nonoise):
     ok, _ = _run(preset("tiny_pack"), nonoise)
     assert ok
+
+
+def test_pack_e2e_out_n4():
+    """out_n=4 (the model-selected spiralpack_20_256 shape)."""
+    ok, _ = _run(preset("tiny_pack4"), nonoise=False)
+    assert ok
+
+
+def test_streampack_e2e_big_p():
+    """p_db=2^16, out_n=4 (the model-selected spiralstreampack shape)."""
+    ok, _ = _run(preset("tiny_stream_pack_bigp"), nonoise=False)
+    assert ok

@@ -14,7 +14,7 @@ def test_headline_params_noise_matches_recorded():
     committed calc_fast gives 88.66 — verified identical to our port).  We
     assert our model reproduces the committed-model value and that the
     paper's choice sits within a couple of bits of the 2^-40 bar."""
-    p = preset("spiral_20_256")
+    p = preset("spiral_20_256_paper")
     s_e = noise_variance(p)
     assert abs(math.log2(s_e) - 88.664) < 0.01
     pe = p_err_bits(p.p_db, p.arb_qprime, s_e, n=p.n0, d=p.poly_len)
@@ -38,13 +38,13 @@ def test_reference_model_cross_check():
     spec = importlib.util.spec_from_file_location("gas", str(ref))
     gas = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gas)
-    p = preset("spiral_20_256")
+    p = preset("spiral_20_256_paper")
     ours = noise_variance(p)
     theirs = gas.calc_fast(p=256, p_db=256, q_prime=p.arb_qprime,
                            q=66974689739603969, nu_1=8, nu_2=7, t_GSW=8,
                            t_conv=4, t_exp=8, t_exp_right=56)
     assert ours == theirs
-    pk = preset("spiralpack_20_256")
+    pk = preset("spiralpack_20_256_paper")
     ours_hr = noise_variance_highrate(pk)
     theirs_hr = gas.calc_fast_highrate(
         p=256, p_db=256, q_prime=pk.arb_qprime, q=66974689739603969,
@@ -64,3 +64,50 @@ def test_select_params_returns_valid_config():
     assert (1 << (p.nu_1 + p.nu_2)) * sel.factor * rec_bytes >= \
         (1 << 12) * 256
     p.validate()
+
+
+def test_primary_presets_pass_correctness_bar():
+    """Every regenerated headline preset must satisfy P[err] <= 2^-40
+    under the committed model (VERDICT r2 weak #7: the old flagship preset
+    was attached to a config the model rejects; `*_paper` aliases keep the
+    paper's recorded choices for comparability and are exempt)."""
+    from spiral_tpu.params import PRESETS
+    for name, p in PRESETS.items():
+        if name.startswith("tiny") or name.endswith("_paper"):
+            continue
+        pack = "pack" in name
+        s_e = noise_variance_highrate(p) if pack else noise_variance(p)
+        n = p.out_n if pack else p.n0
+        pe = p_err_bits(p.p_db, p.arb_qprime, s_e, n=n, d=p.poly_len)
+        assert pe <= -40.0, (name, pe)
+
+
+def test_sweep_artifact_consistent_with_model():
+    """Sampled rows of the committed search artifact must reproduce under
+    the live noise model (artifact <-> model consistency)."""
+    import numpy as np
+    from spiral_tpu.params import Params, QPRIME_MODS
+    from spiral_tpu.paramgen.sweep import load_artifact
+    art = load_artifact()
+    if art is None:
+        import pytest
+        pytest.skip("artifact not built")
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(art["variant"]), size=25, replace=False)
+    for i in idx:
+        variant = int(art["variant"][i])
+        pack = variant >= 2
+        direct = variant % 2 == 1
+        nu_1, nu_2 = int(art["nu_1"][i]), int(art["nu_2"][i])
+        t_gsw = int(art["t_gsw"][i])
+        p = Params(nu_1=nu_1, nu_2=nu_2, p_db=1 << int(art["p_log"][i]),
+                   q_prime_bits=int(art["qp_bits"][i]), t_gsw=t_gsw,
+                   t_conv=int(art["t_conv"][i]), t_exp=int(art["t_exp"][i]),
+                   t_exp_right=56, out_n=int(art["out_n"][i]),
+                   query_elems_first=(1 << nu_1) if direct else 1,
+                   query_elems_rest=nu_2 * t_gsw if direct else 0)
+        s_e = noise_variance_highrate(p) if pack else noise_variance(p)
+        n = p.out_n if pack else p.n0
+        pe = p_err_bits(p.p_db, p.arb_qprime, s_e, n=n, d=p.poly_len)
+        assert pe <= -40.0
+        assert abs(pe - float(art["p_err_bits"][i])) < 0.1
