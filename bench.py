@@ -94,7 +94,16 @@ def main() -> int:
     log(f"setup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    if pack:
+    if pack and args.implicit:
+        from spiral_tpu.server.db import random_implicit_pack_db
+        pts = None
+        db = random_implicit_pack_db(params, rng,
+                                     max_slab_bytes=args.slab_bytes)
+        server = PackServer(params, db, pub)
+        db.slab_limbs.block_until_ready()
+        log(f"implicit pack DB: slab_rows={db.slab_per} "
+            f"chunks={db.num_chunks}")
+    elif pack:
         pts = rng.integers(0, params.p_db, size=(
             params.total_n, params.out_n, params.out_n, d), dtype=_pt_dtype(params))
         db = encode_pack_db(pts, params)
@@ -184,14 +193,25 @@ def main() -> int:
     stream_s = (time.perf_counter() - t0) / K
     log(f"pipelined: {stream_s:.4f}s/query over {K} queries")
 
-    # staged breakdown: first run pays the per-stage compiles, second
-    # measures (each stage still includes one host RTT)
-    server.process_query(query)
-    _, stages = server.process_query(query)
-    log(f"staged breakdown (incl. RTT/stage): exp={stages.expansion_us:.0f} "
-        f"comp={stages.composition_us:.0f} conv={stages.conversion_us:.0f} "
-        f"fdim={stages.first_multiply_us:.0f} "
-        f"fold={stages.folding_us:.0f}us")
+    # staged breakdown: DEVICE-TRUE per-stage times via cumulative fused
+    # prefixes (stage sum ~= fused total; per-dispatch wall timings over
+    # the remote tunnel would include one RTT per stage)
+    if query.packed_b is not None and not pack:
+        from spiral_tpu.profiling import device_stage_times
+        stages_d = device_stage_times(server, query)
+    else:
+        server.process_query(query)             # stage compiles
+        _, st = server.process_query(query)     # wall stages (incl. RTT)
+        stages_d = {
+            "expansion_us": round(st.expansion_us),
+            "composition_us": round(st.composition_us),
+            "conversion_us": round(st.conversion_us),
+            "first_multiply_us": round(st.first_multiply_us),
+            "folding_us": round(st.folding_us),
+            "modswitch_us": round(st.modswitch_us),
+            "fused_total_us": round(st.total_us),
+        }
+    log(f"device stages: {stages_d}")
 
     pt_bits = int(np.log2(params.p_db))
     pt_polys = params.out_n ** 2 if pack else params.n0 * params.n2
@@ -208,11 +228,7 @@ def main() -> int:
             "db_bytes": db_bytes,
             "server_total_s": round(best_s, 4),
             "pipelined_s": round(stream_s, 4),
-            "expansion_us": round(stages.expansion_us),
-            "composition_us": round(stages.composition_us),
-            "conversion_us": round(stages.conversion_us),
-            "first_multiply_us": round(stages.first_multiply_us),
-            "folding_us": round(stages.folding_us),
+            **stages_d,
             "query_bytes": query.size_bytes,
             "response_bytes": params.response_size_bytes(),
         },

@@ -120,6 +120,7 @@ def run_variant(name: str, params, rng, trials: int = 1,
         "setup_s": round(setup_s, 1),
     }
     if want_stages:
+        server.process_query(query)          # stage compiles
         _, st = server.process_query(query)
         row["stages_us"] = {
             "key_gen": round(key_gen_s * 1e6),

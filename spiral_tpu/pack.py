@@ -276,8 +276,9 @@ class PackServer:
     the first-dim multiply runs with zero collectives per device shard
     (see spiral_tpu.dist.shard)."""
 
-    def __init__(self, params: Params, db: EncodedDb, pub: PackPublicParams,
+    def __init__(self, params: Params, db, pub: PackPublicParams,
                  mesh=None):
+        from .server.db import ImplicitDb
         self.params = params
         self.db = db
         self.pub = pub
@@ -286,16 +287,27 @@ class PackServer:
         self._gadget_ntt = build_gadget(
             2, 2 * params.t_gsw, d).to_ntt().data
         self._eng = crt_ntt(d)
-        # int8 limb layout for the MXU first-dim kernel: fold the trial
-        # axis into the output dimension
-        from .server.firstdim import db_to_mxu_limbs
-        T, num_per = db.data.shape[0], db.data.shape[1]
-        self._trials, self._num_per = T, num_per
-        self._db_limbs = db_to_mxu_limbs(
-            db.data.reshape(T * num_per, 1, params.dim0, 2, d))
-        if mesh is not None:
-            from .dist.shard import shard_db_limbs
-            self._db_limbs = shard_db_limbs(self._db_limbs, mesh)
+        self._trials = params.out_n ** 2
+        self._num_per = params.num_per
+        if isinstance(db, ImplicitDb):
+            # huge-DB implicit mode (ref --random-data): the slab streams
+            # num_chunks times through the same MXU kernel
+            if mesh is not None:
+                raise ValueError("implicit pack DB does not support mesh")
+            self._implicit_chunks = db.num_chunks
+            self._db_limbs = db.slab_limbs
+        else:
+            # int8 limb layout for the MXU first-dim kernel: fold the
+            # trial axis into the output dimension
+            from .server.firstdim import db_to_mxu_limbs
+            self._implicit_chunks = 0
+            T, num_per = db.data.shape[0], db.data.shape[1]
+            self._trials, self._num_per = T, num_per
+            self._db_limbs = db_to_mxu_limbs(
+                db.data.reshape(T * num_per, 1, params.dim0, 2, d))
+            if mesh is not None:
+                from .dist.shard import shard_db_limbs
+                self._db_limbs = shard_db_limbs(self._db_limbs, mesh)
         self._build_stages()
 
     def _build_stages(self):
@@ -355,10 +367,15 @@ class PackServer:
                 res = _mxu(dbs, qk)
                 return jax.lax.all_gather(res, "db", axis=3, tiled=True)
 
+        n_chunks = self._implicit_chunks
+
         def fdim(db_limbs, first):
-            from .server.firstdim import multiply_query_by_db_mxu
+            from .server.firstdim import (multiply_query_by_db_implicit,
+                                          multiply_query_by_db_mxu)
             qk = first[:, :, 0]            # (K=dim0, C=ct rows, 2, d)
-            if mesh is not None:
+            if n_chunks:
+                res = multiply_query_by_db_implicit(db_limbs, qk, n_chunks)
+            elif mesh is not None:
                 res = _fdim_local(db_limbs, qk)
             else:
                 res = multiply_query_by_db_mxu(db_limbs, qk)
@@ -473,6 +490,9 @@ class PackServer:
         """Serve a batch of pack queries in one dispatch (DB streamed once).
         Returns (list[Response], seconds)."""
         assert queries, "empty batch"
+        if self._implicit_chunks:
+            raise ValueError(
+                "batched serving requires the explicit MXU database layout")
         seeds = jnp.asarray([q.seed for q in queries], dtype=jnp.int32)
         if queries[0].packed_b is not None:
             packed = jnp.stack([q.packed_b for q in queries])

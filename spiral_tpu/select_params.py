@@ -71,32 +71,53 @@ def main() -> int:
     if not args.dry_run:
         import numpy as np
         rng = np.random.default_rng(0)
+        dt = np.int16 if p.p_db <= (1 << 15) else np.int32
         if args.pack:
             from .pack import PackClient, PackServer, encode_pack_db
             client = PackClient(p, seed=1)
             pub = client.setup()
             pts = rng.integers(0, p.p_db, size=(
-                p.total_n, p.out_n, p.out_n, p.poly_len), dtype=np.int16)
+                p.total_n, p.out_n, p.out_n, p.poly_len), dtype=dt)
             server = PackServer(p, encode_pack_db(pts, p), pub)
+        elif sel.factor > 1:
+            # oversized items: measure the REAL factored pipeline (all
+            # factor sub-databases in one batched program) instead of
+            # extrapolating one pass (ref: select_params.py:291-303
+            # semantics, but measured)
+            from .factored import (FactoredSpiralServer, decode_factored,
+                                   encode_factored_db)
+            from .pir import SpiralClient
+            client = SpiralClient(p, seed=1)
+            pub = client.setup()
+            pts = rng.integers(0, p.p_db, size=(
+                p.total_n, sel.factor, p.n0, p.n2, p.poly_len), dtype=dt)
+            server = FactoredSpiralServer(p, encode_factored_db(pts, p),
+                                          pub)
         else:
             from .pir import SpiralClient, SpiralServer
             from .server.db import encode_db_chunked
             client = SpiralClient(p, seed=1)
             pub = client.setup()
             pts = rng.integers(0, p.p_db, size=(
-                p.total_n, p.n0, p.n2, p.poly_len), dtype=np.int16)
+                p.total_n, p.n0, p.n2, p.poly_len), dtype=dt)
             server = SpiralServer(p, encode_db_chunked(pts, p), pub)
         idx = int(rng.integers(0, p.total_n))
         query = client.query(idx)
         totals = []
         correct = True
         for t in range(args.trials):
-            t0 = time.perf_counter()
             resp, timings = server.process_query(query)
             totals.append(timings)
-            res = client.decode(resp)
-            correct = correct and bool(
-                np.array_equal(res, pts[idx].astype(object)))
+            if sel.factor > 1 and not args.pack:
+                from .factored import decode_factored
+                res = decode_factored(client, resp)
+                correct = correct and bool(
+                    np.array_equal(res, pts[idx].transpose(0, 1, 2, 3)
+                                   .astype(object)))
+            else:
+                res = client.decode(resp)
+                correct = correct and bool(
+                    np.array_equal(res, pts[idx].astype(object)))
         best = min(totals, key=lambda x: x.total_us)
         out.update({
             "is_corr": correct,

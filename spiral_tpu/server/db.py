@@ -132,6 +132,29 @@ def random_implicit_db(params: Params, rng: np.random.Generator,
                       num_chunks=num_per // slab_per, params=params)
 
 
+def random_implicit_pack_db(params: Params, rng: np.random.Generator,
+                            max_slab_bytes: int = 2 << 30) -> ImplicitDb:
+    """Implicit working-set slab for the pack variant: rows are the
+    (trial, num_per) groups of the pack serving layout (trial-major),
+    streamed num_chunks times (ref --random-data in testing.cpp:385)."""
+    from .firstdim import db_to_mxu_limbs
+
+    d = params.poly_len
+    K = params.dim0
+    rows = params.out_n ** 2 * params.num_per
+    row_bytes = K * 2 * d * 4
+    slab_rows = max(1, min(rows, max_slab_bytes // row_bytes))
+    while rows % slab_rows != 0:
+        slab_rows -= 1
+    data = np.stack([
+        rng.integers(0, P_I, size=(slab_rows, 1, K, d), dtype=np.uint64),
+        rng.integers(0, B_I, size=(slab_rows, 1, K, d), dtype=np.uint64),
+    ], axis=-2).astype(np.uint32)
+    return ImplicitDb(slab_limbs=db_to_mxu_limbs(jnp.asarray(data)),
+                      slab_per=slab_rows, num_chunks=rows // slab_rows,
+                      params=params)
+
+
 def encode_db(pts: np.ndarray, params: Params) -> EncodedDb:
     """Center mod p, lift to residues, NTT, reorder to the serving layout."""
     p_db = params.p_db

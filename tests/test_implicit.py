@@ -75,3 +75,23 @@ def test_encode_db_chunked_matches_encode_db():
     a = encode_db(pts, p).data
     b = encode_db_chunked(pts, p, chunk_items=6).data
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_implicit_pipeline_runs():
+    """Implicit (huge-DB) mode for the pack variant: full pipeline runs
+    and produces a well-formed response (random slab; correctness is
+    intentionally unchecked, ref exp_lut.json is_corr=false)."""
+    from spiral_tpu.params import preset
+    from spiral_tpu.pack import PackClient, PackServer
+    from spiral_tpu.server.db import random_implicit_pack_db
+
+    p = preset("tiny_pack")
+    rng = np.random.default_rng(3)
+    row_bytes = p.dim0 * 2 * p.poly_len * 4
+    db = random_implicit_pack_db(p, rng, max_slab_bytes=2 * row_bytes)
+    assert db.num_chunks == p.out_n ** 2 * p.num_per // db.slab_per
+    client = PackClient(p, seed=1)
+    server = PackServer(p, db, client.setup())
+    resp, s = server.process_query_fused(client.query(0))
+    assert s > 0
+    assert np.asarray(resp.first_row).shape == (1, p.out_n, p.poly_len)
