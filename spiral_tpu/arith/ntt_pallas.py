@@ -2,9 +2,12 @@
 
 Motivation: the XLA four-step engine (arith/ntt_mxu.py) materialises every
 int32 matmul output and recombination intermediate in HBM (~10x the data),
-which caps it at ~2M poly-limbs/s on v5e.  This kernel keeps the whole
-transform of a tile of polynomials in VMEM: limb split, both MXU matmuls,
-the twiddle pass and both limb recombinations fuse into one kernel.
+which caps it well below the VPU/MXU roof on v5e.  This kernel keeps the
+whole transform of a tile of polynomials in VMEM: limb split, both MXU
+matmuls, the twiddle pass and both limb recombinations fuse into one
+kernel, and BOTH CRT limbs run in one pallas_call (grid (limb, tiles)
+with limb-stacked tables), so the (..., 2, d) residue tensors flow
+through without any XLA-side slice/stack copies.
 
 Mosaic-friendly factorisation, d = d1*d2 with d1 = 16, d2 = 128, chosen so
 every reshape keeps a minor dim that is a multiple of 128 (Mosaic rejects
@@ -24,11 +27,12 @@ lane splits below 128 — verified empirically, tools/probe_mosaic*.py):
   inverse mirrors it: contract c (minor), twiddle Ti[e,a] = w^{-ea}
   psi^{-a}, contract e (2nd-minor) with M2i[e,b] = w^{-128be} psi^{-128b}/d.
 
-Exact integer arithmetic on the MXU uses the same prescaled-limb trick as
-ntt_mxu (data split into four 7-bit int8 limbs joining the contraction;
-matrix limbs form the output minor axis), but with the output limb axis
-i-MAJOR (columns i*N + n) so the recombination slices whole 128-lane (or
-16-sublane) blocks instead of needing an unsupported (..., N, 4) reshape.
+Exact integer arithmetic on the MXU uses the prescaled-limb trick (data
+split into four 7-bit int8 limbs joining the contraction; matrix limbs
+form the output minor axis, i-MAJOR so recombination slices whole blocks);
+intermediates live e-major ((e, tile, lane)) so the only relayout is the
+final (e, t, c) -> (t, e*128+c) store.  Modular reductions use the
+Solinas form of both CRT moduli (see _reduce_u32) to stay VPU-light.
 
 NOTE: NTT-domain element order differs from ntt_mxu/ntt.py.  All engines
 are interchangeable per process (crt_ntt() picks one globally); mixing
@@ -50,11 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import B_I, P_I
 from .tables import primitive_root
 
+import os
+
 LIMB_BITS = 7
 N_LIMBS = 4
 D1 = 16     # second-minor factor (contracted by the small matmul)
 D2 = 128    # minor factor (contracted by the big matmul)
-TILE = 64   # polys per kernel invocation
+TILE = int(os.environ.get("SPIRAL_NTT_TILE", "64"))  # polys per invocation
 
 
 def _powmat(base: int, rows: int, cols: int, p: int) -> np.ndarray:
@@ -89,7 +95,8 @@ class _Tables:
         w_inv = pow(w, p - 2, p)
         d_inv = pow(d, p - 2, p)
 
-        # forward
+        # forward.  m1T is the transposed prescaled M1f so the small
+        # matmul runs matrix-on-the-left, producing e-major output.
         M1f = (_powmat(pow(w, D2, p), D1, D1, p).astype(object) *
                np.array([pow(psi, D2 * b, p) for b in range(D1)],
                         dtype=object)[:, None]) % p      # [b, e]
@@ -97,7 +104,8 @@ class _Tables:
               np.array([pow(psi, a, p) for a in range(D2)],
                        dtype=object)[None, :]) % p       # [e, a]
         W2f = _powmat(pow(w, D1, p), D2, D2, p)          # [a, c]
-        self.m1f = _prescaled_imajor(M1f.astype(np.uint32), p)   # (64, 64)
+        self.m1fT = np.ascontiguousarray(
+            _prescaled_imajor(M1f.astype(np.uint32), p).T)       # (64, 64)
         self.w2f = _prescaled_imajor(W2f.astype(np.uint32), p)   # (512, 512)
         self.tf = Tf.astype(np.uint32)
         self.tf_shoup = self._shoup(self.tf)
@@ -111,7 +119,8 @@ class _Tables:
                np.array([pow(psi_inv, D2 * b, p) for b in range(D1)],
                         dtype=object)[None, :] * d_inv) % p     # [e, b]
         self.m1i = _prescaled_imajor(M1i.astype(np.uint32), p)  # (512, 512)
-        self.m2i = _prescaled_imajor(M2i.astype(np.uint32), p)  # (64, 64)
+        self.m2iT = np.ascontiguousarray(
+            _prescaled_imajor(M2i.astype(np.uint32), p).T)      # (64, 64)
         self.ti = Ti.astype(np.uint32)
         self.ti_shoup = self._shoup(self.ti)
 
@@ -144,14 +153,21 @@ def _mullo(a, b):
 
 
 def _reduce_u32(v, tb: _Tables):
-    """v mod p for any u32 v (two-word Barrett, mirrors mod.reduce_u32)."""
+    """v mod p for any u32 v.  Both CRT moduli are Solinas-form
+    (p = 2^28 - c with 2^28 + 16c < 2p), so v = hi*2^28 + lo reduces as
+    lo + hi*c with one conditional subtract — the cheap path that keeps
+    this kernel VPU-light (mirrors mod.ModContext.reduce_u32)."""
+    p = jnp.uint32(tb.p)
+    c = (1 << 28) - tb.p
+    if (1 << 28) + 16 * c < 2 * tb.p:
+        s = (v & jnp.uint32((1 << 28) - 1)) + (v >> 28) * jnp.uint32(c)
+        return jnp.where(s >= p, s - p, s)
     r1, r0 = tb.ratio
     z = _umulhi(v, jnp.uint32(r0))
     h1 = _umulhi(v, jnp.uint32(r1))
     l1 = _mullo(v, jnp.uint32(r1))
     s = l1 + z
     q = h1 + (s < l1).astype(jnp.uint32)
-    p = jnp.uint32(tb.p)
     r = v - q * p
     r = jnp.where(r >= p, r - p, r)
     return jnp.where(r >= p, r - p, r)
@@ -181,95 +197,115 @@ def _limb_planes(v):
              ).astype(jnp.int8) for j in range(N_LIMBS)]
 
 
-def _fwd_kernel_factory(tb: _Tables, d: int):
-    def kernel(x_ref, m1_ref, tf_ref, tfs_ref, w2_ref, o_ref):
-        x = x_ref[...]                                    # (TILE, d)
-        v = x.reshape(TILE, D1, D2)                       # [b, a]
+_EMAJOR = os.environ.get("SPIRAL_NTT_FORM", "tmajor") == "emajor"
+
+
+def _fwd_body(tb: _Tables, d: int, x, m1T, tf, tfs, w2):
+    """One limb's forward transform; x (TILE, d) -> (TILE, d) u32."""
+    if _EMAJOR:
+        v = x.reshape(TILE, D1, D2)                       # [t, b, a]
         l1 = jnp.concatenate(_limb_planes(v), axis=-2)    # (TILE, 64, 128)
+        # matrix-on-the-left: out[(i,e), t, a] — e-major intermediates
         o1 = jax.lax.dot_general(
-            l1, m1_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (TILE, 128a, 64)
-        o1 = jnp.swapaxes(o1, -1, -2)                     # (TILE, 64, 128a)
-        g = _recombine(o1[:, 0:D1], o1[:, D1:2 * D1],
-                       o1[:, 2 * D1:3 * D1], o1[:, 3 * D1:], tb)
-        h = _mul_shoup(g, tf_ref[...][None], tfs_ref[...][None], tb.p)
-        l2 = jnp.concatenate(_limb_planes(h), axis=-1)    # (TILE, 16, 512)
+            m1T, l1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)             # (64, TILE, 128)
+        g = _recombine(o1[0:D1], o1[D1:2 * D1],
+                       o1[2 * D1:3 * D1], o1[3 * D1:], tb)
+        h = _mul_shoup(g, tf[:, None, :], tfs[:, None, :], tb.p)
+        l2 = jnp.concatenate(_limb_planes(h), axis=-1)    # (16, TILE, 512)
         o2 = jax.lax.dot_general(
-            l2, w2_ref[...],
+            l2, w2,
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (TILE, 16e, 512)
+            preferred_element_type=jnp.int32)             # (16, TILE, 512)
         z = _recombine(o2[..., 0:D2], o2[..., D2:2 * D2],
                        o2[..., 2 * D2:3 * D2], o2[..., 3 * D2:], tb)
-        o_ref[...] = z.reshape(TILE, d)                   # o~ = 128e + c
+        return jnp.swapaxes(z, 0, 1).reshape(TILE, d)     # (t, 128e + c)
 
-    tables = (tb.m1f, tb.tf, tb.tf_shoup, tb.w2f)
-    return kernel, tables
+    v = x.reshape(TILE, D1, D2)                       # [t, b, a]
+    l1 = jnp.concatenate(_limb_planes(v), axis=-2)    # (TILE, 64, 128)
+    o1 = jax.lax.dot_general(
+        l1, jnp.swapaxes(m1T, 0, 1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (TILE, 128a, 64ie)
+    o1 = jnp.swapaxes(o1, -1, -2)                     # (TILE, 64, 128)
+    g = _recombine(o1[:, 0:D1], o1[:, D1:2 * D1],
+                   o1[:, 2 * D1:3 * D1], o1[:, 3 * D1:], tb)
+    h = _mul_shoup(g, tf[None], tfs[None], tb.p)      # (TILE, 16, 128)
+    l2 = jnp.concatenate(_limb_planes(h), axis=-1)    # (TILE, 16, 512)
+    o2 = jax.lax.dot_general(
+        l2, w2,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (TILE, 16, 512)
+    z = _recombine(o2[..., 0:D2], o2[..., D2:2 * D2],
+                   o2[..., 2 * D2:3 * D2], o2[..., 3 * D2:], tb)
+    return z.reshape(TILE, d)                         # o~ = 128e + c
 
 
-def _inv_kernel_factory(tb: _Tables, d: int):
-    def kernel(x_ref, m1_ref, ti_ref, tis_ref, m2_ref, o_ref):
-        x = x_ref[...]                                    # (TILE, d) o~
-        v = x.reshape(TILE, D1, D2)                       # [e, c]
-        l1 = jnp.concatenate(_limb_planes(v), axis=-1)    # (TILE, 16, 512)
+def _inv_body(tb: _Tables, d: int, x, m1, ti, tis, m2T):
+    """One limb's inverse transform; x (TILE, d) NTT order -> coeff."""
+    if _EMAJOR:
+        v = x.reshape(TILE, D1, D2)                       # [t, e, c]
+        ve = jnp.swapaxes(v, 0, 1)                        # (16e, TILE, 128c)
+        l1 = jnp.concatenate(_limb_planes(ve), axis=-1)   # (16, TILE, 512)
         o1 = jax.lax.dot_general(
-            l1, m1_ref[...],
+            l1, m1,
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (TILE, 16e, 512)
+            preferred_element_type=jnp.int32)             # (16, TILE, 512)
         g = _recombine(o1[..., 0:D2], o1[..., D2:2 * D2],
                        o1[..., 2 * D2:3 * D2], o1[..., 3 * D2:], tb)
-        h = _mul_shoup(g, ti_ref[...][None], tis_ref[...][None], tb.p)
-        l2 = jnp.concatenate(_limb_planes(h), axis=-2)    # (TILE, 64, 128)
+        h = _mul_shoup(g, ti[:, None, :], tis[:, None, :], tb.p)
+        l2 = jnp.concatenate(_limb_planes(h), axis=-3)    # (64, TILE, 128)
         o2 = jax.lax.dot_general(
-            l2, m2_ref[...],
+            m2T, l2,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (TILE, 128a, 64)
-        o2 = jnp.swapaxes(o2, -1, -2)                     # (TILE, 64, 128a)
-        z = _recombine(o2[:, 0:D1], o2[:, D1:2 * D1],
-                       o2[:, 2 * D1:3 * D1], o2[:, 3 * D1:], tb)
-        o_ref[...] = z.reshape(TILE, d)                   # idx = a + 128b
+            preferred_element_type=jnp.int32)             # (64b, TILE, 128a)
+        z = _recombine(o2[0:D1], o2[D1:2 * D1],
+                       o2[2 * D1:3 * D1], o2[3 * D1:], tb)
+        return jnp.swapaxes(z, 0, 1).reshape(TILE, d)     # (t, a + 128 b)
 
-    tables = (tb.m1i, tb.ti, tb.ti_shoup, tb.m2i)
-    return kernel, tables
-
-
-def _run(x, kernel, tables, d: int, interpret: bool):
-    """x: (..., d) u32 -> same shape, tiling the flattened batch."""
-    shape = x.shape
-    flat = x.reshape(-1, d)
-    n = flat.shape[0]
-    pad = (-n) % TILE
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((pad, d), dtype=jnp.uint32)], axis=0)
-    tiles = flat.shape[0] // TILE
-    table_specs = [
-        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
-                     memory_space=pltpu.VMEM)
-        for t in tables
-    ]
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
-        grid=(tiles,),
-        in_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + table_specs,
-        out_specs=pl.BlockSpec((TILE, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(flat, *[jnp.asarray(t) for t in tables])
-    if pad:
-        out = out[:n]
-    return out.reshape(shape)
+    v = x.reshape(TILE, D1, D2)                       # [t, e, c]
+    l1 = jnp.concatenate(_limb_planes(v), axis=-1)    # (TILE, 16, 512)
+    o1 = jax.lax.dot_general(
+        l1, m1,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (TILE, 16, 512)
+    g = _recombine(o1[..., 0:D2], o1[..., D2:2 * D2],
+                   o1[..., 2 * D2:3 * D2], o1[..., 3 * D2:], tb)
+    h = _mul_shoup(g, ti[None], tis[None], tb.p)      # (TILE, 16, 128)
+    l2 = jnp.concatenate(_limb_planes(h), axis=-2)    # (TILE, 64, 128)
+    o2 = jax.lax.dot_general(
+        l2, jnp.swapaxes(m2T, 0, 1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (TILE, 128a, 64ib)
+    o2 = jnp.swapaxes(o2, -1, -2)                     # (TILE, 64, 128)
+    z = _recombine(o2[:, 0:D1], o2[:, D1:2 * D1],
+                   o2[:, 2 * D1:3 * D1], o2[:, 3 * D1:], tb)
+    return z.reshape(TILE, d)                         # idx = a + 128 b
 
 
-@lru_cache(maxsize=None)
-def _tables(p: int, d: int) -> _Tables:
-    return _Tables(p, d)
+def _make_kernel(tb_p: _Tables, tb_b: _Tables, d: int, body):
+    """Kernel over a (TILE, 2*d) block: columns [0, d) are the p-limb,
+    [d, 2d) the b-limb (the contiguous view of (..., 2, d) tensors), each
+    transformed with its own tables inside one invocation."""
+    def kernel(x_ref, t1_ref, t2_ref, t3_ref, t4_ref, o_ref):
+        for li, tb in ((0, tb_p), (1, tb_b)):
+            x = x_ref[:, li * d:(li + 1) * d]
+            args = (t1_ref[li], t2_ref[li], t3_ref[li], t4_ref[li])
+            o_ref[:, li * d:(li + 1) * d] = body(tb, d, x, *args)
+
+    return kernel
+
+
+def _stack(tp, tb):
+    # host numpy: the engine may be constructed inside a jit trace (first
+    # crt_ntt() call), so device conversion happens per call in _run
+    return np.stack([tp, tb])
 
 
 class CrtNttPallas:
-    """Drop-in engine: transforms arrays shaped (..., 2, d)."""
+    """Drop-in engine: transforms arrays shaped (..., 2, d) in ONE
+    pallas_call over both CRT limbs."""
 
     def __init__(self, d: int, interpret: bool | None = None):
         assert d == D1 * D2, \
@@ -278,24 +314,57 @@ class CrtNttPallas:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self._interpret = interpret
-        self._fk = {p: _fwd_kernel_factory(_tables(p, d), d)
-                    for p in (P_I, B_I)}
-        self._ik = {p: _inv_kernel_factory(_tables(p, d), d)
-                    for p in (P_I, B_I)}
+        tp, tb = _tables(P_I, d), _tables(B_I, d)
+        self._fwd_kernel = _make_kernel(tp, tb, d, _fwd_body)
+        self._inv_kernel = _make_kernel(tp, tb, d, _inv_body)
+        self._fwd_tabs = (_stack(tp.m1fT, tb.m1fT), _stack(tp.tf, tb.tf),
+                          _stack(tp.tf_shoup, tb.tf_shoup),
+                          _stack(tp.w2f, tb.w2f))
+        self._inv_tabs = (_stack(tp.m1i, tb.m1i), _stack(tp.ti, tb.ti),
+                          _stack(tp.ti_shoup, tb.ti_shoup),
+                          _stack(tp.m2iT, tb.m2iT))
         self.forward = jax.jit(self._forward)
         self.inverse = jax.jit(self._inverse)
 
+    def _run(self, x, kernel, tables):
+        d = self.d
+        shape = x.shape
+        flat = x.reshape(-1, 2 * d)     # contiguous view, no copy
+        n = flat.shape[0]
+        pad = (-n) % TILE
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, 2 * d), dtype=jnp.uint32)], axis=0)
+        tiles = flat.shape[0] // TILE
+        table_specs = [
+            pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for t in tables
+        ]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint32),
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec((TILE, 2 * d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + table_specs,
+            out_specs=pl.BlockSpec((TILE, 2 * d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=self._interpret,
+        )(flat, *[jnp.asarray(t) for t in tables])
+        if pad:
+            out = out[:n]
+        return out.reshape(shape)
+
     def _forward(self, x):
-        return jnp.stack(
-            [_run(x[..., 0, :], *self._fk[P_I], self.d, self._interpret),
-             _run(x[..., 1, :], *self._fk[B_I], self.d, self._interpret)],
-            axis=-2)
+        return self._run(x, self._fwd_kernel, self._fwd_tabs)
 
     def _inverse(self, x):
-        return jnp.stack(
-            [_run(x[..., 0, :], *self._ik[P_I], self.d, self._interpret),
-             _run(x[..., 1, :], *self._ik[B_I], self.d, self._interpret)],
-            axis=-2)
+        return self._run(x, self._inv_kernel, self._inv_tabs)
+
+
+@lru_cache(maxsize=None)
+def _tables(p: int, d: int) -> _Tables:
+    return _Tables(p, d)
 
 
 @lru_cache(maxsize=None)

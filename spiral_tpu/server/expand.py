@@ -49,6 +49,40 @@ def _keyswitch_batch(cv, W, m_exp: int, t: int, eng):
     return jnp.concatenate([out[:, :base - 1], bottom], axis=1)
 
 
+def _keyswitch_round_both(evens, odds, W_l, W_r, m_l: int, m_r: int,
+                          t: int, eng, d: int):
+    """One expansion round updating even AND odd slots with their
+    respective gadget widths, with all NTT work merged: one batched
+    inverse over every surviving ct and ONE batched forward over every
+    tau(c)_1 poly + every gadget digit of both widths (the early rounds
+    have tiny batches, so launch count and batch size dominate)."""
+    Ne, No = evens.shape[0], odds.shape[0]
+    base = evens.shape[1]
+    cv_all = jnp.concatenate([evens, odds], axis=0)
+    c = eng.inverse(cv_all)
+    c_auto = automorph_raw(c, t)
+    ginv_e = gadget_invert_raw(c_auto[:Ne, 0:1], m_l, 1)   # (Ne, m_l, 1,..)
+    ginv_o = gadget_invert_raw(c_auto[Ne:, 0:1], m_r, 1)
+    flat = jnp.concatenate([
+        c_auto[:, 1, 0],                          # tau(c)_1 polys (N)
+        ginv_e.reshape(Ne * m_l, 2, d),
+        ginv_o.reshape(No * m_r, 2, d),
+    ], axis=0)
+    f = eng.forward(flat)
+    c1_ntt = f[:Ne + No].reshape(Ne + No, 1, 1, 2, d)
+    ge = f[Ne + No:Ne + No + Ne * m_l].reshape(Ne, m_l, 1, 2, d)
+    go = f[Ne + No + Ne * m_l:].reshape(No, m_r, 1, 2, d)
+
+    def finish(cv, w_prod, c1):
+        out = add_raw(cv, w_prod)
+        bottom = add_raw(out[:, base - 1:base], c1)
+        return jnp.concatenate([out[:, :base - 1], bottom], axis=1)
+
+    new_e = finish(evens, matmul_raw(W_l, ge), c1_ntt[:Ne])
+    new_o = finish(odds, matmul_raw(W_r, go), c1_ntt[Ne:])
+    return new_e, new_o
+
+
 def coefficient_expansion(cv0, g: int, W_left_v, W_right_v, params: Params,
                           max_bits_to_gen_right: int = 0, stopround: int = 0):
     """Expand one ct into 2^g cts.
@@ -68,16 +102,18 @@ def coefficient_expansion(cv0, g: int, W_left_v, W_right_v, params: Params,
 
         evens = cv[0::2]
         odds = cv[1::2]
-        new_evens = _keyswitch_batch(evens, W_left_v[r], params.m_exp, t, eng)
         if stopround == 0 or r <= stopround:
-            new_odds = _keyswitch_batch(
-                odds, W_right_v[r], params.m_exp_right, t, eng)
+            new_evens, new_odds = _keyswitch_round_both(
+                evens, odds, W_left_v[r], W_right_v[r], params.m_exp,
+                params.m_exp_right, t, eng, d)
             if stopround > 0 and r == stopround:
                 # odd slot i (ct index 2i+1) only needed for i <= max_bits
                 keep = (jnp.arange(odds.shape[0]) <= max_bits_to_gen_right)
                 new_odds = jnp.where(
                     keep[:, None, None, None, None], new_odds, odds)
         else:
+            new_evens = _keyswitch_batch(evens, W_left_v[r], params.m_exp,
+                                         t, eng)
             new_odds = odds
         cv = jnp.stack([new_evens, new_odds], axis=1).reshape(
             (num_out,) + cv.shape[1:])
