@@ -60,25 +60,34 @@ class ModContext:
         s = p - a
         return jnp.where(s >= p, s - p, s)
 
-    # Solinas fast reduction: for p = 2^28 - c with 2^28 + 16c < 2p
-    # (both CRT moduli qualify), any u32 v = hi*2^28 + lo reduces as
-    # lo + hi*c with ONE conditional subtract — ~5 VPU ops instead of the
-    # ~25 of the generic two-word Barrett.  This is the u32-lane analog of
-    # the reference exploiting its NTT-friendly moduli (values.h:13,21).
+    # Solinas fast reduction: for p = 2^28 - c, any u32 v = hi*2^28 + lo
+    # folds as lo + hi*c; one or two folds reach the one-subtract range
+    # for both CRT moduli — ~5-9 VPU ops instead of the ~25 of the generic
+    # two-word Barrett.  This is the u32-lane analog of the reference
+    # exploiting its NTT-friendly moduli (values.h:13,21).
     @property
-    def _solinas_c(self) -> int | None:
-        if self.k == 28:
-            c = (1 << 28) - self.p
-            if (1 << 28) + 16 * c < 2 * self.p:
-                return c
+    def _solinas(self) -> tuple[int, int] | None:
+        """(c, folds) or None."""
+        if self.k != 28:
+            return None
+        c = (1 << 28) - self.p
+        bound = (1 << 28) + 16 * c
+        if bound < 2 * self.p:
+            return c, 1
+        if (1 << 28) + (bound >> 28) * c < 2 * self.p:
+            return c, 2
         return None
 
     def reduce_u32(self, v):
         """v mod p for any u32 v."""
         p = jnp.uint32(self.p)
-        c = self._solinas_c
-        if c is not None:
-            s = (v & jnp.uint32((1 << 28) - 1)) + (v >> 28) * jnp.uint32(c)
+        sol = self._solinas
+        if sol is not None:
+            c, folds = sol
+            mask = jnp.uint32((1 << 28) - 1)
+            s = (v & mask) + (v >> 28) * jnp.uint32(c)
+            if folds == 2:
+                s = (s & mask) + (s >> 28) * jnp.uint32(c)
             return jnp.where(s >= p, s - p, s)
         r1, r0 = self._ratio64
         z = umulhi32(v, jnp.uint32(r0))

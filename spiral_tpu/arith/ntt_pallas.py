@@ -159,8 +159,12 @@ def _reduce_u32(v, tb: _Tables):
     this kernel VPU-light (mirrors mod.ModContext.reduce_u32)."""
     p = jnp.uint32(tb.p)
     c = (1 << 28) - tb.p
-    if (1 << 28) + 16 * c < 2 * tb.p:
-        s = (v & jnp.uint32((1 << 28) - 1)) + (v >> 28) * jnp.uint32(c)
+    bound = (1 << 28) + 16 * c
+    if bound < 2 * tb.p or (1 << 28) + (bound >> 28) * c < 2 * tb.p:
+        mask = jnp.uint32((1 << 28) - 1)
+        s = (v & mask) + (v >> 28) * jnp.uint32(c)
+        if bound >= 2 * tb.p:
+            s = (s & mask) + (s >> 28) * jnp.uint32(c)
         return jnp.where(s >= p, s - p, s)
     r1, r0 = tb.ratio
     z = _umulhi(v, jnp.uint32(r0))

@@ -307,6 +307,9 @@ class PackServer:
                 db.data.reshape(T * num_per, 1, params.dim0, 2, d))
             if mesh is not None:
                 from .dist.shard import shard_db_limbs
+                self._db_limbs = db_to_mxu_limbs(
+                    db.data.reshape(T * num_per, 1, params.dim0, 2, d),
+                    row_major=True)
                 self._db_limbs = shard_db_limbs(self._db_limbs, mesh)
         self._build_stages()
 
@@ -364,7 +367,7 @@ class PackServer:
                          in_specs=(_P(None, None, None, "db"), _P()),
                          out_specs=_P(), check_vma=False)
             def _fdim_local(dbs, qk):
-                res = _mxu(dbs, qk)
+                res = _mxu(dbs, qk, row_major=True)
                 return jax.lax.all_gather(res, "db", axis=3, tiled=True)
 
         n_chunks = self._implicit_chunks
@@ -411,7 +414,7 @@ class PackServer:
                          in_specs=(_P(None, None, None, "db"), _P()),
                          out_specs=_P(), check_vma=False)
             def _fdim_local_batch(dbs, qk_b):
-                res = _mxu_b(dbs, qk_b)
+                res = _mxu_b(dbs, qk_b, row_major=True)
                 return jax.lax.all_gather(res, "db", axis=4, tiled=True)
 
         def fdim_batch(db_limbs, first_b):

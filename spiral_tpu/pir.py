@@ -104,11 +104,16 @@ class SpiralServer:
         d = params.poly_len
         self._g2_ntt = build_gadget(params.n1, params.m2, d).to_ntt().data
         self._eng = crt_ntt(d)
-        # int8 limb layout for the MXU first-dim kernel; SPIRAL_FDIM=u32
-        # keeps the u32 layout and uses the portable VPU contraction (the
-        # TPU analog of the reference's NO_CRT/no-AVX ablation builds)
+        # int8 limb layout for the MXU first-dim kernel.  SPIRAL_FDIM:
+        #   u32    portable VPU contraction on the raw residues (the TPU
+        #          analog of the reference's NO_CRT/no-AVX ablations)
+        #   xla    int8-limb matmul via XLA dot_general
+        #   fused  Pallas kernel fusing the matmul + limb recombination
+        #          (default on TPU when shapes allow)
         import os
-        self._fdim_u32 = os.environ.get("SPIRAL_FDIM") == "u32"
+        mode = os.environ.get("SPIRAL_FDIM", "")
+        self._fdim_u32 = mode == "u32"
+        self._fdim_fused = False
         if isinstance(db, ImplicitDb):
             self._implicit_chunks = db.num_chunks
             self._db_limbs = db.slab_limbs
@@ -124,11 +129,18 @@ class SpiralServer:
             if mesh is not None:
                 from .dist.shard import shard_db_limbs
                 self._fdim_u32 = False
-                self._db_limbs = shard_db_limbs(db_to_mxu_limbs(db.data),
-                                                mesh)
+                self._db_limbs = shard_db_limbs(
+                    db_to_mxu_limbs(db.data, row_major=True), mesh)
             else:
                 self._db_limbs = (db.data if self._fdim_u32
                                   else db_to_mxu_limbs(db.data))
+                if not self._fdim_u32:
+                    from .server.firstdim import fused_fdim_supported
+                    self._fdim_fused = (
+                        mode != "xla" and fused_fdim_supported(
+                            self._db_limbs) and
+                        (mode == "fused" or
+                         jax.default_backend() == "tpu"))
         self._build_stages()
 
     def _build_stages(self):
@@ -164,6 +176,8 @@ class SpiralServer:
         use_u32 = self._fdim_u32
         mesh = self.mesh
 
+        use_fused = self._fdim_fused
+
         def fdim(db_limbs, C_reg):
             qk = reorient_query(C_reg)
             if n_chunks:
@@ -171,6 +185,9 @@ class SpiralServer:
             elif use_u32:
                 out = matmul_raw(db_limbs, qk)    # (num_per, n2, n1, 2, d)
                 return eng.inverse(out.transpose(0, 2, 1, 3, 4))
+            elif use_fused:
+                from .server.firstdim import multiply_query_by_db_fused
+                res = multiply_query_by_db_fused(db_limbs, qk)
             else:
                 res = multiply_query_by_db_mxu(db_limbs, qk)
             cts_ntt = finish_mxu_output(res, p.num_per, p.n2)
@@ -203,7 +220,8 @@ class SpiralServer:
                     res = _implicit_chunks_loop(dbs, qk, local_chunks,
                                                 i * local_chunks)
                 else:
-                    res = multiply_query_by_db_mxu(dbs, qk)
+                    res = multiply_query_by_db_mxu(dbs, qk,
+                                                   row_major=True)
                 return eng.inverse(finish_mxu_output(res, local_rows, p.n2))
 
             # the whole DB-dependent phase runs in one shard_map: local
@@ -231,7 +249,8 @@ class SpiralServer:
                          in_specs=(db_spec, _P(), _P(), _P()),
                          out_specs=_P(), check_vma=False)
             def _fdim_fold_all_batch(dbs, qk_b, q_pos_b, q_neg_b):
-                res = multiply_query_by_db_mxu_batch(dbs, qk_b)
+                res = multiply_query_by_db_mxu_batch(dbs, qk_b,
+                                                     row_major=True)
                 cts_b = eng.inverse(
                     finish_mxu_output_batch(res, local_rows, p.n2))
                 surv_b = jax.vmap(

@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..params import B_I, P_I
 from ..arith.mod import mod_ctx
@@ -53,21 +55,32 @@ def _to_limbs_i8(v, axis_last: bool = True):
     return jnp.stack(limbs, axis=-1)
 
 
-@jax.jit
-def db_to_mxu_limbs(db_data):
-    """(num_per, n2, K, 2, d) u32 -> (2, d, K, num_per*n2*N_LIMBS) int8."""
+@functools.partial(jax.jit, static_argnames=("row_major",))
+def db_to_mxu_limbs(db_data, row_major: bool = False):
+    """(num_per, n2, K, 2, d) u32 -> (2, d, K, N_LIMBS*num_per*n2) int8.
+
+    Default column order is limb-MAJOR (j, row): the recombination then
+    slices whole row-blocks per limb pair — the layout the fused Pallas
+    kernel needs (Mosaic cannot split the minor axis below 128 lanes).
+    row_major=True emits (row, j) columns instead — required when the
+    column axis is row-sharded over a device mesh (dist/shard.py)."""
     num_per, n2, K = db_data.shape[0], db_data.shape[1], db_data.shape[2]
     d = db_data.shape[-1]
     limbs = _to_limbs_i8(db_data)            # (num_per, n2, K, 2, d, 4)
-    t = limbs.transpose(3, 4, 2, 0, 1, 5)    # (2, d, K, num_per, n2, 4)
-    return t.reshape(2, d, K, num_per * n2 * N_LIMBS)
+    if row_major:
+        t = limbs.transpose(3, 4, 2, 0, 1, 5)   # (2, d, K, np, n2, 4)
+    else:
+        t = limbs.transpose(3, 4, 2, 5, 0, 1)   # (2, d, K, 4, np, n2)
+    return t.reshape(2, d, K, N_LIMBS * num_per * n2)
 
 
-def _mxu_contract(db_limbs, lhs, G: int) -> jnp.ndarray:
+def _mxu_contract(db_limbs, lhs, G: int,
+                  row_major: bool = False) -> jnp.ndarray:
     """Shared MXU contraction + limb recombination.
 
-    db_limbs: (2, d, K, N=m*4) int8; lhs: (2, d, G*4, K) int8 query limbs
-    (limb axis fastest within each group of 4 rows).
+    db_limbs: (2, d, K, N=4*m) int8, columns limb-major (j, row) by
+    default / (row, j) when row_major; lhs: (2, d, G*4, K) int8 query
+    limbs (limb axis fastest within each group of 4 rows).
     Returns (2, d, G, m) u32 residues."""
     crt, d, K, N = db_limbs.shape
     m = N // N_LIMBS
@@ -78,16 +91,20 @@ def _mxu_contract(db_limbs, lhs, G: int) -> jnp.ndarray:
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32)    # (2, d, G*4, N)
 
-    out = out.reshape(crt, d, G, N_LIMBS, m, N_LIMBS)
+    if row_major:
+        out = out.reshape(crt, d, G, N_LIMBS, m, N_LIMBS)
+        out = jnp.moveaxis(out, -1, -2)      # -> (..., i, j, m)
+    else:
+        out = out.reshape(crt, d, G, N_LIMBS, N_LIMBS, m)
     results = []
     for li, p in enumerate((P_I, B_I)):
         ctx = mod_ctx(p)
-        o = out[li]                           # (d, G, 4, m, 4)
+        o = out[li]                           # (d, G, i, j, m)
         acc = None
         for s in range(2 * N_LIMBS - 1):
             # S_s = sum over limb pairs with i+j == s; |pairs| <= 4,
             # each entry < K*127^2 so the s32 sum stays positive
-            terms = [o[:, :, i, :, s - i]
+            terms = [o[:, :, i, s - i]
                      for i in range(max(0, s - N_LIMBS + 1),
                                     min(N_LIMBS, s + 1))]
             S = terms[0]
@@ -102,8 +119,137 @@ def _mxu_contract(db_limbs, lhs, G: int) -> jnp.ndarray:
     return jnp.stack(results)                 # (2, d, G, m)
 
 
-def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
-    """db_limbs: (2, d, K, N=num_per*n2*4) int8 from db_to_mxu_limbs.
+# ---------------------------------------------------------------------------
+# Fused Pallas first-dim kernel: int8 matmul + limb recombination in one
+# kernel, so the int32 product tensor (4x the output bytes) never touches
+# HBM and the database streams once at full bandwidth
+# (ref kernel being beaten: src/spiral.cpp:640-745 AVX-512).
+
+_BD = 8   # NTT slots per kernel invocation
+
+
+def _solinas_reduce(v, p: int):
+    """v mod p for u32 v and p = 2^28 - c: fold the high bits down with
+    v = hi*2^28 + lo ≡ lo + hi*c, once or twice until the one-subtract
+    bound holds (both CRT moduli need <= 2 folds)."""
+    c = (1 << 28) - p
+    mask = jnp.uint32((1 << 28) - 1)
+    pp = jnp.uint32(p)
+    s = (v & mask) + (v >> 28) * jnp.uint32(c)
+    bound = (1 << 28) + 16 * c
+    if bound >= 2 * p:
+        s = (s & mask) + (s >> 28) * jnp.uint32(c)
+        assert (1 << 28) + (bound >> 28) * c < 2 * p
+    return jnp.where(s >= pp, s - pp, s)
+
+
+def _mul_shoup_k(y, w: int, p: int):
+    """y*w mod p, w constant (Shoup); carry-safe 16-bit-split umulhi."""
+    ws = (w << 32) // p
+    a0 = y & jnp.uint32(0xFFFF)
+    a1 = y >> 16
+    b0 = jnp.uint32(ws & 0xFFFF)
+    b1 = jnp.uint32(ws >> 16)
+    lo = a0 * b0
+    m1 = a1 * b0
+    m2 = a0 * b1
+    t = (lo >> 16) + (m1 & jnp.uint32(0xFFFF)) + (m2 & jnp.uint32(0xFFFF))
+    q = a1 * b1 + (m1 >> 16) + (m2 >> 16) + (t >> 16)
+    pp = jnp.uint32(p)
+    r = jnp.uint32(w) * y - q * pp
+    return jnp.where(r >= pp, r - pp, r)
+
+
+def _fdim_fused_kernel(G: int, m: int):
+    def one_limb(out, p: int):
+        # out: (BD, 4G, 4m) int32, rows (i, g) i-major, cols (j, row)
+        # j-major; per weight s = i + j sum the <=4 diagonal blocks,
+        # reduce, scale by 2^{7s}, accumulate mod p
+        acc = None
+        for s in range(2 * N_LIMBS - 1):
+            blocks = [out[:, i * G:(i + 1) * G,
+                          (s - i) * m:(s - i + 1) * m]
+                      for i in range(max(0, s - N_LIMBS + 1),
+                                     min(N_LIMBS, s + 1))]
+            S = blocks[0]
+            for t in blocks[1:]:
+                S = S + t
+            r = _solinas_reduce(S.astype(jnp.uint32), p)
+            w = (1 << (LIMB_BITS * s)) % p
+            if w != 1:
+                r = _mul_shoup_k(r, w, p)
+            if acc is None:
+                acc = r
+            else:
+                pp = jnp.uint32(p)
+                t2 = acc + r
+                acc = jnp.where(t2 >= pp, t2 - pp, t2)
+        return acc
+
+    def kernel(db_ref, lhs_ref, o_ref):
+        li = pl.program_id(0)
+        out = jax.lax.dot_general(
+            lhs_ref[0], db_ref[0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)     # (BD, 4G, 4m)
+
+        @pl.when(li == 0)
+        def _():
+            o_ref[0] = one_limb(out, P_I)
+
+        @pl.when(li == 1)
+        def _():
+            o_ref[0] = one_limb(out, B_I)
+
+    return kernel
+
+
+def fused_fdim_supported(db_limbs) -> bool:
+    crt, d, K, N = db_limbs.shape
+    m = N // N_LIMBS
+    return m % 128 == 0 and d % _BD == 0 and K % 8 == 0
+
+
+def multiply_query_by_db_fused(db_limbs, query_k,
+                               interpret: bool | None = None) -> jnp.ndarray:
+    """Fused-kernel version of multiply_query_by_db_mxu (identical output,
+    j-major layout required).  db_limbs: (2, d, K, N=4m) int8;
+    query_k: (K, n1, 2, d) u32.  Returns (2, d, n1, m) u32."""
+    import jax as _jax
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    crt, d, K, N = db_limbs.shape
+    n1 = query_k.shape[1]
+    m = N // N_LIMBS
+    q_limbs = _to_limbs_i8(query_k)            # (K, n1, 2, d, 4)
+    lhs = q_limbs.transpose(2, 3, 4, 1, 0)     # (2, d, 4, n1, K) i-major
+    lhs = lhs.reshape(crt, d, N_LIMBS * n1, K)
+
+    kernel = _fdim_fused_kernel(n1, m)
+    return pl_.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((crt, d, n1, m), jnp.uint32),
+        grid=(crt, d // _BD),
+        in_specs=[
+            pl_.BlockSpec((1, _BD, K, N), lambda li, zb: (li, zb, 0, 0),
+                          memory_space=pltpu.VMEM),
+            pl_.BlockSpec((1, _BD, N_LIMBS * n1, K),
+                          lambda li, zb: (li, zb, 0, 0),
+                          memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl_.BlockSpec((1, _BD, n1, m),
+                                lambda li, zb: (li, zb, 0, 0),
+                                memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(db_limbs, lhs)
+
+
+def multiply_query_by_db_mxu(db_limbs, query_k,
+                             row_major: bool = False) -> jnp.ndarray:
+    """db_limbs: (2, d, K, N=4*num_per*n2) int8 from db_to_mxu_limbs.
     query_k: (K, n1, 2, d) u32 NTT residues.
     Returns (2, d, n1, num_per*n2) u32."""
     crt, d, K, N = db_limbs.shape
@@ -111,10 +257,11 @@ def multiply_query_by_db_mxu(db_limbs, query_k) -> jnp.ndarray:
     q_limbs = _to_limbs_i8(query_k)          # (K, n1, 2, d, 4)
     lhs = q_limbs.transpose(2, 3, 1, 4, 0)   # (2, d, n1, 4, K)
     lhs = lhs.reshape(crt, d, n1 * N_LIMBS, K)
-    return _mxu_contract(db_limbs, lhs, n1)
+    return _mxu_contract(db_limbs, lhs, n1, row_major=row_major)
 
 
-def multiply_query_by_db_mxu_batch(db_limbs, query_k_b) -> jnp.ndarray:
+def multiply_query_by_db_mxu_batch(db_limbs, query_k_b,
+                                   row_major: bool = False) -> jnp.ndarray:
     """Multi-query first-dim multiply: the database (the huge HBM operand)
     streams ONCE for the whole batch; the MXU lhs grows to B*n1*4 rows.
     TPU-native aggregate-throughput feature — the reference processes one
@@ -126,7 +273,8 @@ def multiply_query_by_db_mxu_batch(db_limbs, query_k_b) -> jnp.ndarray:
     q_limbs = _to_limbs_i8(query_k_b)          # (B, K, n1, 2, d, 4)
     lhs = q_limbs.transpose(3, 4, 0, 2, 5, 1)  # (2, d, B, n1, 4, K)
     lhs = lhs.reshape(crt, d, B * n1 * N_LIMBS, K)
-    res = _mxu_contract(db_limbs, lhs, B * n1)  # (2, d, B*n1, m)
+    res = _mxu_contract(db_limbs, lhs, B * n1,
+                        row_major=row_major)    # (2, d, B*n1, m)
     return res.reshape(crt, d, B, n1, N // N_LIMBS)
 
 

@@ -25,6 +25,35 @@ from ..core.poly import add_raw, matmul_raw
 from ..core.gadget import gadget_invert_signed_raw
 
 
+def ext_product_mxu(q, gn):
+    """Batched external-product matmul on the MXU.
+
+    q: (R, M, 2, d) NTT; gn: (m, M, C, 2, d) NTT ->
+    (m, R, C, 2, d).  Both operands split into 7-bit int8 limbs; the
+    whole per-slot contraction becomes one batched int8 matmul with the
+    ct batch folded into the output dim (the same scheme as the
+    first-dim kernel, server/firstdim.py; ref counterpart:
+    src/spiral.cpp:464-582 cpu_mul_query_by_ct).  Exact for M <= 2^17.
+
+    NOT used in the production fold: measured on v5e, the int8 limb-split
+    transposes of the (large) gn operand cost more than the VPU
+    half-product matmul they replace (fold delta 10.4 -> 13.9 ms at
+    spiral_20_256).  Kept as the building block for shapes with a large
+    contraction/output where the MXU wins (see server/firstdim.py)."""
+    from .firstdim import N_LIMBS, _mxu_contract, _to_limbs_i8
+
+    R, M = q.shape[0], q.shape[1]
+    m, _, C, crt, d = gn.shape
+    ql = _to_limbs_i8(q)                        # (R, M, 2, d, 4)
+    lhs = ql.transpose(2, 3, 0, 4, 1).reshape(crt, d, R * N_LIMBS, M)
+    gl = _to_limbs_i8(gn)                       # (m, M, C, 2, d, 4)
+    rhs = gl.transpose(3, 4, 1, 0, 2, 5).reshape(crt, d, M,
+                                                 m * C * N_LIMBS)
+    res = _mxu_contract(rhs, lhs, R,
+                        row_major=True)         # (2, d, R, m*C)
+    return res.reshape(crt, d, R, m, C).transpose(3, 2, 4, 0, 1)
+
+
 def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
                 q_neg: jnp.ndarray, params: Params, start_round: int = 0,
                 num_rounds: int | None = None) -> jnp.ndarray:
@@ -47,6 +76,9 @@ def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
         pairs = jnp.concatenate([cts_coeff[0::2], cts_coeff[1::2]])
         ginv = gadget_invert_signed_raw(pairs, params.t_gsw, params.n1)
         gn = eng.forward(ginv)          # (2m, m2, n2, 2, d)
+        # VPU half-product matmuls beat the MXU limb path here (measured:
+        # ext_product_mxu's limb-split transposes cost more than the tiny
+        # contraction saves — see that function's docstring)
         prod = add_raw(matmul_raw(q_neg[r], gn[:m]),
                        matmul_raw(q_pos[r], gn[m:]))
         cts_coeff = eng.inverse(prod)
