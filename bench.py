@@ -235,6 +235,11 @@ def main() -> int:
             "db_bytes": db_bytes,
             "server_total_s": round(serve_s, 4),
             "single_query_wall_s": round(best_s, 4),
+            # the baseline was measured per single query; this is the
+            # apples-to-apples ratio (the headline vs_baseline uses the
+            # RTT-amortized pipelined time, disclosed via "timing")
+            "vs_baseline_single_query": round(
+                db_bytes / best_s / 1e6 / BASELINE_THROUGHPUT_MBPS, 3),
             "pipelined_s": round(stream_s, 4),
             **stages_d,
             "query_bytes": query.size_bytes,

@@ -205,7 +205,10 @@ _EMAJOR = os.environ.get("SPIRAL_NTT_FORM", "tmajor") == "emajor"
 
 
 def _fwd_body(tb: _Tables, d: int, x, m1T, tf, tfs, w2):
-    """One limb's forward transform; x (TILE, d) -> (TILE, d) u32."""
+    """One limb's forward transform; x (T, d) -> (T, d) u32 (any row
+    count T — the standalone engine passes TILE, the fused fold/expand
+    kernels pass their own batch heights)."""
+    TILE = x.shape[0]
     if _EMAJOR:
         v = x.reshape(TILE, D1, D2)                       # [t, b, a]
         l1 = jnp.concatenate(_limb_planes(v), axis=-2)    # (TILE, 64, 128)
@@ -247,7 +250,9 @@ def _fwd_body(tb: _Tables, d: int, x, m1T, tf, tfs, w2):
 
 
 def _inv_body(tb: _Tables, d: int, x, m1, ti, tis, m2T):
-    """One limb's inverse transform; x (TILE, d) NTT order -> coeff."""
+    """One limb's inverse transform; x (T, d) NTT order -> coeff (any
+    row count T, like _fwd_body)."""
+    TILE = x.shape[0]
     if _EMAJOR:
         v = x.reshape(TILE, D1, D2)                       # [t, e, c]
         ve = jnp.swapaxes(v, 0, 1)                        # (16e, TILE, 128c)

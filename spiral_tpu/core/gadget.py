@@ -71,12 +71,14 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnames=("mx", "rdim"))
-def gadget_invert_raw(x, mx: int, rdim: int):
+def gadget_invert_impl(x, mx: int, rdim: int):
     """Unsigned base-z digit decomposition (ref: src/util.cpp:114-144).
 
     x: coeff-domain residues (..., rdim, m, 2, d) -> (..., mx, m, 2, d) with
     out[j + k*rdim] = digit_k(x[j]).
+
+    Unjitted implementation: also traced INSIDE the fused expansion
+    Pallas kernel (server/expand_pallas.py).
     """
     assert x.shape[-4] == rdim and mx % rdim == 0
     num_elems = mx // rdim
@@ -89,19 +91,25 @@ def gadget_invert_raw(x, mx: int, rdim: int):
     return rows
 
 
+gadget_invert_raw = functools.partial(
+    jax.jit, static_argnames=("mx", "rdim"))(gadget_invert_impl)
+
+
 def gadget_invert(x: PolyMat, mx: int, rdim: int | None = None) -> PolyMat:
     rdim = x.rows if rdim is None else rdim
     return PolyMat(gadget_invert_raw(x.data, mx, rdim), ntt=False)
 
 
-@functools.partial(jax.jit, static_argnames=("num_elems", "rdim"))
-def gadget_invert_signed_raw(x, num_elems: int, rdim: int):
+def gadget_invert_signed_impl(x, num_elems: int, rdim: int):
     """Signed digits with carry, matching split_and_crt's two-half chains
     (ref: src/spiral.cpp:283-332).
 
     First half k in [0, ne//2): carry chain, digit signed when
     piece > z/2 and k < ne//2 - 1.  Second half k in [ne//2, ne): fresh
     carry chain, digit signed (incl. the last; final carry dropped).
+
+    Unjitted implementation: also traced INSIDE the fused fold Pallas
+    kernel (server/fold_pallas.py), where a pjit call couldn't lower.
     """
     bits_per = get_bits_per(num_elems)
     z = 1 << bits_per
@@ -133,6 +141,11 @@ def gadget_invert_signed_raw(x, num_elems: int, rdim: int):
             out_rows[k] = jnp.stack(limbs, axis=-2)
     # row layout j + k*rdim over the input's rdim axis
     return jnp.concatenate(out_rows, axis=-4)
+
+
+gadget_invert_signed_raw = functools.partial(
+    jax.jit, static_argnames=("num_elems", "rdim"))(
+        gadget_invert_signed_impl)
 
 
 def gadget_invert_signed(x: PolyMat, num_elems: int) -> PolyMat:

@@ -69,16 +69,26 @@ def psum_mod_pair(x, axis_name: str):
 # Row sharding (production): helpers used by SpiralServer/PackServer
 
 def row_shard_spec(mesh: Mesh):
-    """NamedSharding for the MXU limb DB (2, d, K, num_per*n2*4): the
-    trailing axis is num_per-major, so splitting it over the mesh splits
-    whole first-dim rows."""
+    """NamedSharding for a ROW-MAJOR MXU limb DB (2, d, K, num_per*n2*4).
+
+    LAYOUT CONTRACT: only tensors built with
+    ``db_to_mxu_limbs(..., row_major=True)`` may be sharded with this
+    spec.  The default (limb-major) layout has the same shape but orders
+    the trailing axis (limb, row); splitting THAT over the mesh would put
+    whole limb planes on different devices and silently scramble the
+    output.  The layouts are indistinguishable from shape alone, so this
+    is enforced by construction at the two call sites (pir.py, pack.py),
+    both of which pass row_major=True."""
     return NamedSharding(mesh, P(None, None, None, "db"))
 
 
 def shard_db_limbs(db_limbs, mesh: Mesh):
     """Place int8 MXU limbs with first-dim rows split over the mesh's
     "db" axis (other mesh axes replicate).  Requires the row count
-    (trailing-axis groups) divisible by that axis size."""
+    (trailing-axis groups) divisible by that axis size.
+
+    db_limbs MUST be in the row-major layout
+    (``db_to_mxu_limbs(..., row_major=True)``) — see row_shard_spec."""
     n_db = mesh.shape["db"]
     if db_limbs.shape[-1] % n_db != 0:
         raise ValueError(

@@ -303,14 +303,13 @@ class PackServer:
             self._implicit_chunks = 0
             T, num_per = db.data.shape[0], db.data.shape[1]
             self._trials, self._num_per = T, num_per
-            self._db_limbs = db_to_mxu_limbs(
-                db.data.reshape(T * num_per, 1, params.dim0, 2, d))
+            flat = db.data.reshape(T * num_per, 1, params.dim0, 2, d)
             if mesh is not None:
                 from .dist.shard import shard_db_limbs
-                self._db_limbs = db_to_mxu_limbs(
-                    db.data.reshape(T * num_per, 1, params.dim0, 2, d),
-                    row_major=True)
-                self._db_limbs = shard_db_limbs(self._db_limbs, mesh)
+                self._db_limbs = shard_db_limbs(
+                    db_to_mxu_limbs(flat, row_major=True), mesh)
+            else:
+                self._db_limbs = db_to_mxu_limbs(flat)
         self._build_stages()
 
     def _build_stages(self):
@@ -319,14 +318,15 @@ class PackServer:
         pub = self.pub
         gadget_ntt = self._gadget_ntt
 
-        def expand(seed, packed_b):
+        def expand(seed, packed_b, fused=None):
             packed_ct = reconstruct_cts(seed, packed_b)[0]
             g, stop = pack_g_stop(p)
             ell = p.t_gsw
             cv = coefficient_expansion(
                 packed_ct, g, [w.data for w in pub.W_exp_left],
                 [w.data for w in pub.W_exp_right], p,
-                max_bits_to_gen_right=ell * p.further_dims, stopround=stop)
+                max_bits_to_gen_right=ell * p.further_dims, stopround=stop,
+                fused=fused)
             return cv[0::2][:p.dim0], cv[1::2][:ell * p.further_dims]
 
         def conv(gsw_src):
@@ -431,7 +431,8 @@ class PackServer:
             return eng.inverse(cts_ntt)    # (B, T, np, 2, 1, 2, d)
 
         def full_packed_batch(db_limbs, seeds, packed_bs):
-            first_b, gsw_src_b = jax.vmap(expand)(seeds, packed_bs)
+            first_b, gsw_src_b = jax.vmap(
+                lambda s, b: expand(s, b, fused=False))(seeds, packed_bs)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_src_b)
             cts_b = fdim_batch(db_limbs, first_b)
             results = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)

@@ -25,7 +25,7 @@ from .crypto.publicparams import PublicParams, generate_public_params
 from .crypto.query import Query, generate_query, reconstruct_cts
 from .crypto.decode import (Response, decode_response, modswitch_device,
                             response_from_device_rows)
-from .server.db import EncodedDb, ImplicitDb, encode_db
+from .server.db import EncodedDb, ImplicitDb, ShardedLimbsDb, encode_db
 from .server.expand import coefficient_expansion, reorder_from_stopround
 from .server.convert import regev_to_gsw_batch, scal_to_mat_batch
 from .server.firstdim import (db_to_mxu_limbs, finish_mxu_output,
@@ -114,7 +114,16 @@ class SpiralServer:
         mode = os.environ.get("SPIRAL_FDIM", "")
         self._fdim_u32 = mode == "u32"
         self._fdim_fused = False
-        if isinstance(db, ImplicitDb):
+        if isinstance(db, ShardedLimbsDb):
+            # multi-host ingest (dist/multihost.py): limbs arrive already
+            # row-major + row-sharded over the (global) mesh
+            if mesh is None:
+                raise ValueError("ShardedLimbsDb requires a mesh")
+            self._implicit_chunks = 0
+            self._fdim_u32 = False
+            self._fdim_fused = False
+            self._db_limbs = db.limbs
+        elif isinstance(db, ImplicitDb):
             self._implicit_chunks = db.num_chunks
             self._db_limbs = db.slab_limbs
             self._fdim_u32 = False
@@ -149,14 +158,14 @@ class SpiralServer:
         g2 = self._g2_ntt
         pub = self.pub
 
-        def expand(seed, packed_b):
+        def expand(seed, packed_b, fused=None):
             packed_ct = reconstruct_cts(seed, packed_b)[0]
             ell = p.t_gsw
             cv = coefficient_expansion(
                 packed_ct, p.g, [w.data for w in pub.W_exp_left],
                 [w.data for w in pub.W_exp_right], p,
                 max_bits_to_gen_right=ell * p.further_dims,
-                stopround=p.stopround)
+                stopround=p.stopround, fused=fused)
             if p.stopround != 0:
                 cv = reorder_from_stopround(cv, p.dim0, ell * p.further_dims)
             return (cv[:p.dim0], cv[p.dim0:p.dim0 + ell * p.further_dims])
@@ -193,8 +202,9 @@ class SpiralServer:
             cts_ntt = finish_mxu_output(res, p.num_per, p.n2)
             return eng.inverse(cts_ntt)
 
-        def fold(cts_coeff, q_pos, q_neg):
-            return fold_ciphertexts(cts_coeff, q_pos, q_neg, p)
+        def fold(cts_coeff, q_pos, q_neg, fused=None):
+            return fold_ciphertexts(cts_coeff, q_pos, q_neg, p,
+                                    fused=fused)
 
         if mesh is not None:
             # Row-sharded serving: each device streams only its DB shard
@@ -254,13 +264,14 @@ class SpiralServer:
                 cts_b = eng.inverse(
                     finish_mxu_output_batch(res, local_rows, p.n2))
                 surv_b = jax.vmap(
-                    lambda c, qp, qn: fold_rounds(c, qp, qn, p, 0, r_loc)
+                    lambda c, qp, qn: fold_rounds(c, qp, qn, p, 0, r_loc,
+                                                  fused=False)
                 )(cts_b, q_pos_b, q_neg_b)              # (B, 1, ...)
                 gathered = jax.lax.all_gather(surv_b, "db", axis=1,
                                               tiled=True)
                 return jax.vmap(
                     lambda s, qp, qn: fold_ciphertexts(
-                        s, qp, qn, p, start_round=r_loc)
+                        s, qp, qn, p, start_round=r_loc, fused=False)
                 )(gathered, q_pos_b, q_neg_b)
 
             def fdim_fold_sharded_batch(db_limbs, C_reg_b, q_pos_b,
@@ -289,9 +300,12 @@ class SpiralServer:
                     parts.append(sl)
                     continue
                 g = pp["g"]
+                # fused=False: a vmapped pallas_call would need a batched
+                # grid; these per-part expansions are tiny (small g)
                 ex = jax.vmap(lambda c: coefficient_expansion(
                     c, g, [w.data for w in pub.W_exp_left][:g],
-                    [w.data for w in pub.W_exp_right][:g], p))(sl)
+                    [w.data for w in pub.W_exp_right][:g], p,
+                    fused=False))(sl)
                 parts.append(ex[:, :pp["bits"]].reshape(
                     (-1,) + sl.shape[1:]))
             return parts[0], parts[1]
@@ -347,10 +361,15 @@ class SpiralServer:
                 return self._fdim_fold_sharded_batch(
                     db_limbs, C_reg_b, q_pos_b, q_neg_b)
             cts_b = fdim_batch(db_limbs, C_reg_b)
-            return jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
+            # fused=False under vmap: the mega-kernels are latency-path
+            # only (a batched pallas grid would need batching rules)
+            return jax.vmap(
+                lambda c, qp, qn: fold(c, qp, qn, fused=False)
+            )(cts_b, q_pos_b, q_neg_b)
 
         def full_packed_batch(db_limbs, seeds, packed_bs):
-            first_b, gsw_b = jax.vmap(expand)(seeds, packed_bs)
+            first_b, gsw_b = jax.vmap(
+                lambda s, b: expand(s, b, fused=False))(seeds, packed_bs)
             C_reg_b = jax.vmap(comp)(first_b)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_b)
             finals = serve_db_batch(db_limbs, C_reg_b, q_pos_b, q_neg_b)

@@ -122,6 +122,12 @@ def save_db(db, path: str) -> None:
     import dataclasses
     meta = dataclasses.asdict(db.params)
     meta["__ntt_engine__"] = ntt_engine_name(db.params.poly_len)
+    # first-dim row order: fold pairs ADJACENT rows, which requires the
+    # bit-reversed layout written by encode_db (server/db.py).  Untagged
+    # checkpoints predate that layout and would fold wrong rows silently,
+    # so load_db rejects them (same retirement pattern as the SPQ1 query
+    # format above).
+    meta["__layout__"] = "bitrev-v1"
     p.with_suffix(".json").write_text(json.dumps(meta))
 
 
@@ -133,6 +139,13 @@ def load_db(path: str):
     data = np.load(str(p.with_suffix(".npy")))
     meta = json.loads(p.with_suffix(".json").read_text())
     eng = meta.pop("__ntt_engine__", "mxu")
+    layout = meta.pop("__layout__", None)
+    if layout != "bitrev-v1":
+        raise ValueError(
+            f"DB checkpoint has row layout {layout!r}; this build folds "
+            "adjacent bit-reversed rows ('bitrev-v1') and an untagged "
+            "(pre-layout-tag) checkpoint would decode the wrong record — "
+            "re-encode the database with encode_db + save_db")
     params = Params(**meta)
     active = ntt_engine_name(params.poly_len)
     if eng != active:

@@ -97,6 +97,17 @@ def encode_db_chunked(pts: np.ndarray, params: Params,
 
 
 @dataclasses.dataclass
+class ShardedLimbsDb:
+    """A database already in the MXU int8-limb serving layout and already
+    placed/sharded over a device mesh (row-major column order, first-dim
+    rows split over the mesh's "db" axis).  Produced by the multi-host
+    ingest path (dist/multihost.py), where each process encodes only its
+    own row range and no host ever materialises the full database."""
+    limbs: jnp.ndarray     # (2, d, K, num_per*n2*4) int8, row-sharded
+    params: Params
+
+
+@dataclasses.dataclass
 class ImplicitDb:
     """Implicit huge-database mode (ref: src/spiral.cpp:1032-1081
     dummyWorkingSet / --random-data): a random slab covering `slab_per`

@@ -23,10 +23,15 @@ from ..core.poly import (PolyMat, add_raw, automorph_raw, matmul_raw,
 from ..core.gadget import gadget_invert_raw
 
 
-def _neg_monomial_ntt(r: int, d: int) -> jnp.ndarray:
-    """NTT of x^{-2^r} = -x^{d - 2^r} (ref: spiral.cpp:184-192)."""
+def _neg_monomial_ntt(r: int, d: int, eng=None) -> jnp.ndarray:
+    """NTT of x^{-2^r} = -x^{d - 2^r} (ref: spiral.cpp:184-192).
+
+    `eng` overrides the global engine (the fused path requires the
+    Pallas slot order regardless of the process default)."""
     pm = PolyMat.monomial(-1, d - (1 << r), d)
-    return pm.to_ntt().data[0, 0]
+    if eng is None:
+        return pm.to_ntt().data[0, 0]
+    return eng.forward(pm.data)[0, 0]
 
 
 def _keyswitch_batch(cv, W, m_exp: int, t: int, eng):
@@ -83,37 +88,80 @@ def _keyswitch_round_both(evens, odds, W_l, W_r, m_l: int, m_r: int,
     return new_e, new_o
 
 
+def _fused_enabled(d: int) -> bool:
+    """Fused Pallas expansion rounds (server/expand_pallas.py): on by
+    default on TPU under the Pallas NTT engine; SPIRAL_EXPAND=fused/xla
+    forces."""
+    import os
+    import jax
+    mode = os.environ.get("SPIRAL_EXPAND", "")
+    if mode == "xla":
+        return False
+    from ..arith.ntt import ntt_engine_name
+    from ..arith.ntt_pallas import D1, D2
+    if d != D1 * D2 or ntt_engine_name(d) != "pallas":
+        return False
+    return mode == "fused" or jax.default_backend() == "tpu"
+
+
 def coefficient_expansion(cv0, g: int, W_left_v, W_right_v, params: Params,
-                          max_bits_to_gen_right: int = 0, stopround: int = 0):
+                          max_bits_to_gen_right: int = 0, stopround: int = 0,
+                          fused: bool | None = None):
     """Expand one ct into 2^g cts.
 
     cv0: (base, 1, 2, d) NTT.  W_left_v/W_right_v: lists of (base, m, 2, d).
     Returns (2^g, base, 1, 2, d).  Skip rules mirror the reference: with
     stopround > 0, odd slots stop expanding after round `stopround`.
+
+    fused=None auto-selects the Pallas mega-kernel path (see
+    _fused_enabled); callers that vmap this function pass fused=False.
     """
     d = params.poly_len
-    eng = crt_ntt(d)
+    if fused is None:
+        fused = _fused_enabled(d)
+    if fused:
+        import jax
+        from ..arith.ntt_pallas import crt_ntt_pallas
+        from .expand_pallas import inv_ntt_automorph, keyswitch_fused
+        interpret = jax.default_backend() != "tpu"
+        eng = crt_ntt_pallas(d)   # fused kernels fix the slot order
+    else:
+        eng = crt_ntt(d)
     cv = cv0[None]  # (1, base, 1, 2, d)
     for r in range(g):
         t = (d >> r) + 1
-        neg1 = _neg_monomial_ntt(r, d)
+        neg1 = _neg_monomial_ntt(r, d, eng if fused else None)
         cv = jnp.concatenate([cv, scalar_mul_raw(neg1, cv)], axis=0)
         num_out = cv.shape[0]
 
         evens = cv[0::2]
         odds = cv[1::2]
         if stopround == 0 or r <= stopround:
-            new_evens, new_odds = _keyswitch_round_both(
-                evens, odds, W_left_v[r], W_right_v[r], params.m_exp,
-                params.m_exp_right, t, eng, d)
+            if fused:
+                c_auto = inv_ntt_automorph(cv, t, interpret)
+                new_evens = keyswitch_fused(evens, c_auto[0::2],
+                                            W_left_v[r], params.m_exp,
+                                            interpret)
+                new_odds = keyswitch_fused(odds, c_auto[1::2],
+                                           W_right_v[r],
+                                           params.m_exp_right, interpret)
+            else:
+                new_evens, new_odds = _keyswitch_round_both(
+                    evens, odds, W_left_v[r], W_right_v[r], params.m_exp,
+                    params.m_exp_right, t, eng, d)
             if stopround > 0 and r == stopround:
                 # odd slot i (ct index 2i+1) only needed for i <= max_bits
                 keep = (jnp.arange(odds.shape[0]) <= max_bits_to_gen_right)
                 new_odds = jnp.where(
                     keep[:, None, None, None, None], new_odds, odds)
         else:
-            new_evens = _keyswitch_batch(evens, W_left_v[r], params.m_exp,
-                                         t, eng)
+            if fused:
+                c_auto_e = inv_ntt_automorph(evens, t, interpret)
+                new_evens = keyswitch_fused(evens, c_auto_e, W_left_v[r],
+                                            params.m_exp, interpret)
+            else:
+                new_evens = _keyswitch_batch(evens, W_left_v[r],
+                                             params.m_exp, t, eng)
             new_odds = odds
         cv = jnp.stack([new_evens, new_odds], axis=1).reshape(
             (num_out,) + cv.shape[1:])

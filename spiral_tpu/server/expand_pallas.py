@@ -1,0 +1,225 @@
+"""Fused coefficient-expansion Pallas kernels.
+
+One expansion round (ref: src/spiral.cpp:1664-1743 expandImproved) is, for
+every surviving ciphertext: inverse NTT -> automorphism tau_t -> gadget
+decomposition -> forward NTT -> key-switch matmul -> add.  The unfused
+path (server/expand.py) materialises the digit tensor in HBM and pads
+tiny early-round NTT batches to the standalone engine's TILE; both costs
+disappear here.  Two kernels per round:
+
+* K1 (_auto_call): inverse NTT + automorphism.  The automorphism is a
+  static +/-1 permutation of the d coefficients; Mosaic has no lane
+  gather, so it runs as an int8 permutation matmul on the MXU over the
+  four 7-bit limb planes (one nonzero per output => each int32 plane is
+  in [-127, 127]; the signed recombination adds a multiple of p before
+  the Solinas reduce).
+
+* K2 (_keyswitch_call): gadget digits of row 0 (core/gadget.py impl,
+  traced in-kernel), forward NTT of the digits + the row-1 poly, the
+  W key-switch matmul (digits as matmul COLUMNS: one ct per output
+  column), add into the NTT-domain ct, row-1 poly added to the bottom
+  row.  Instantiated per gadget width (evens m_exp / odds m_exp_right).
+
+The ct-doubling scalar multiply by x^{-2^r} stays in XLA (it is one
+pointwise op over the whole batch).  Valid only under the Pallas NTT
+engine; expand.py dispatches.  Bit-exact vs the unfused path
+(tests/test_expand_pallas.py).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import B_I, P_I
+from ..arith.mod import mod_ctx
+from ..arith.ntt_pallas import (LIMB_BITS, N_LIMBS, _fwd_body, _inv_body,
+                                _tables)
+from ..core.gadget import gadget_invert_impl
+from .fold_pallas import _add_pair, _fold_tables, _matmul_pair
+
+MODS = (P_I, B_I)
+
+
+@lru_cache(maxsize=None)
+def _perm_i8(d: int, t: int) -> np.ndarray:
+    """(d, d) int8 with P[i, (i*t) % d] = (-1)^((i*t)//d % 2): automorph
+    x -> x^t as out = in @ P (ref: src/poly.cpp:240-261)."""
+    P = np.zeros((d, d), dtype=np.int8)
+    i = np.arange(d)
+    o = (i * t) % d
+    sgn = np.where(((i * t) // d) % 2 == 1, -1, 1).astype(np.int8)
+    P[i, o] = sgn
+    return P
+
+
+def _automorph_limb(x, P, tb):
+    """x: (T, d) canonical u32 residues -> tau_t(x) canonical, via the
+    +/-1 permutation matmul over 7-bit limb planes."""
+    planes = [((x >> jnp.uint32(LIMB_BITS * j)) & jnp.uint32(0x7F)
+               ).astype(jnp.int8) for j in range(N_LIMBS)]
+    outs = [jax.lax.dot_general(
+        pj, P, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) for pj in planes]
+    val = outs[0] + (outs[1] << 7) + (outs[2] << 14) + (outs[3] << 21)
+    # |val| < 2^28; shift into u32 range with a multiple of p
+    C = tb.p * ((1 << 28) // tb.p + 1)
+    v = (val + jnp.int32(C)).astype(jnp.uint32)
+    from ..arith.ntt_pallas import _reduce_u32
+    return _reduce_u32(v, tb)
+
+
+def _make_auto_kernel(d: int):
+    tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
+
+    def kernel(cv_ref, perm_ref, i1, i2, i3, i4, out_ref):
+        x = cv_ref[...]                           # (T, 2, d) NTT
+        P = perm_ref[...]
+        outs = []
+        for li, tb in ((0, tb_p), (1, tb_b)):
+            c = _inv_body(tb, d, x[:, li, :], i1[li], i2[li], i3[li],
+                          i4[li])
+            outs.append(_automorph_limb(c, P, tb))
+        out_ref[...] = jnp.stack(outs, axis=-2)   # (T, 2, d) coeff
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _auto_call(n_polys: int, d: int, tile: int, interpret: bool):
+    kernel = _make_auto_kernel(d)
+    _, inv = _fold_tables(d)
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for t in inv
+    ]
+    grid = (n_polys + tile - 1) // tile
+
+    def run(cv_flat, perm):
+        pad = grid * tile - n_polys
+        if pad:
+            cv_flat = jnp.concatenate(
+                [cv_flat, jnp.zeros((pad,) + cv_flat.shape[1:],
+                                    dtype=jnp.uint32)], axis=0)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(cv_flat.shape, jnp.uint32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((tile, 2, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + table_specs,
+            out_specs=pl.BlockSpec((tile, 2, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(cv_flat, perm, *[jnp.asarray(t) for t in inv])
+        return out[:n_polys] if pad else out
+
+    return run
+
+
+def inv_ntt_automorph(cv, t: int, interpret: bool):
+    """cv: (N, base, 1, 2, d) NTT -> tau_t(invNTT(cv)) coeff domain."""
+    N, base = cv.shape[0], cv.shape[1]
+    d = cv.shape[-1]
+    flat = cv.reshape(N * base, 2, d)
+    tile = min(32, N * base)
+    run = _auto_call(N * base, d, tile, interpret)
+    out = run(flat, jnp.asarray(_perm_i8(d, t)))
+    return out.reshape(cv.shape)
+
+
+def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
+    tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
+
+    def kernel(cv_ref, ca_ref, w_ref, f1, f2, f3, f4, out_ref):
+        ca = ca_ref[...]                          # (T, base, 2, d) coeff
+        # gadget_invert_impl expects (..., rdim=1, cols=1, 2, d)
+        c0 = ca[:, 0][:, None, None]              # (T, 1, 1, 2, d)
+        digs = gadget_invert_impl(c0, m, 1)[:, :, 0]     # (T, m, 2, d)
+        flat_rows = []
+        for li, tb in ((0, tb_p), (1, tb_b)):
+            top = ca[:, 1, li, :]                 # (T, d) row-1 polys
+            dg = digs[..., li, :].reshape(T * m, d)
+            x = jnp.concatenate([top, dg], axis=0)
+            flat_rows.append(_fwd_body(tb, d, x, f1[li], f2[li], f3[li],
+                                       f4[li]))
+        f = jnp.stack(flat_rows, axis=-2)         # (T + T*m, 2, d) NTT
+        c1_ntt = f[:T]                            # (T, 2, d)
+        dig_ntt = f[T:].reshape(T, m, 2, d)
+        # W: (base, m, 2, d) x digits as columns (m, T, 2, d)
+        w_prod = _matmul_pair(w_ref[...],
+                              jnp.swapaxes(dig_ntt, 0, 1))  # (base, T, 2, d)
+        w_prod = jnp.swapaxes(w_prod, 0, 1)       # (T, base, 2, d)
+        out = _add_pair(cv_ref[...], w_prod)
+        bottom = _add_pair(out[:, base - 1], c1_ntt)
+        out_ref[...] = jnp.concatenate(
+            [out[:, :base - 1], bottom[:, None]], axis=1)
+
+    return kernel
+
+
+def _ks_tile(m: int) -> int:
+    """Cts per K2 grid step, sized so the digit working set stays well
+    inside VMEM (digits + int32 NTT intermediates scale with T*m)."""
+    budget = 160  # polys per step through the forward NTT
+    return max(1, budget // (m + 1))
+
+
+@lru_cache(maxsize=None)
+def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
+    T = min(_ks_tile(m), N)
+    grid = (N + T - 1) // T
+    kernel = _make_keyswitch_kernel(m, base, d, T)
+    fwd, _ = _fold_tables(d)
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for t in fwd
+    ]
+
+    def run(cv, c_auto, W):
+        # cv/c_auto: (N, base, 2, d); W: (base, m, 2, d)
+        pad = grid * T - N
+        if pad:
+            z = jnp.zeros((pad, base, 2, d), dtype=jnp.uint32)
+            cv = jnp.concatenate([cv, z], axis=0)
+            c_auto = jnp.concatenate([c_auto, z], axis=0)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(cv.shape, jnp.uint32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((T, base, 2, d), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, base, 2, d), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((base, m, 2, d), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + table_specs,
+            out_specs=pl.BlockSpec((T, base, 2, d), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(cv, c_auto, W, *[jnp.asarray(t) for t in fwd])
+        return out[:N] if pad else out
+
+    return run
+
+
+def keyswitch_fused(cv, c_auto, W, m: int, interpret: bool):
+    """cv: (N, base, 1, 2, d) NTT; c_auto: same shape, coeff domain
+    (already automorphed); W: (base, m, 2, d) NTT.
+    Returns cv + KeySwitch_W(c_auto) with the row-1 poly added to the
+    bottom row (server/expand.py _keyswitch_batch semantics)."""
+    N, base = cv.shape[0], cv.shape[1]
+    d = cv.shape[-1]
+    run = _keyswitch_call(N, m, base, d, interpret)
+    out = run(cv.reshape(N, base, 2, d), c_auto.reshape(N, base, 2, d), W)
+    return out.reshape(cv.shape)

@@ -56,14 +56,32 @@ def ext_product_mxu(q, gn):
 
 def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
                 q_neg: jnp.ndarray, params: Params, start_round: int = 0,
-                num_rounds: int | None = None) -> jnp.ndarray:
+                num_rounds: int | None = None,
+                fused: bool | None = None) -> jnp.ndarray:
     """Run `num_rounds` fold rounds (all remaining if None) starting at
     global round index `start_round` (selects q_pos/q_neg slots).
 
     cts_coeff: (m, n1, n2, 2, d) coeff domain, bit-reversed row order.
     q_pos/q_neg: (nu_2, n1, m2, 2, d) NTT domain, slot s selecting bit
     (nu_2 - 1 - s) of the further index.
-    Returns the (m / 2^num_rounds, n1, n2, 2, d) survivors."""
+    Returns the (m / 2^num_rounds, n1, n2, 2, d) survivors.
+
+    Dispatch (SPIRAL_FOLD): "fused" forces the Pallas mega-kernel
+    (server/fold_pallas.py — digits never touch HBM), "xla" forces the
+    unfused chain below; default is fused on TPU when the Pallas NTT
+    engine is active, unfused elsewhere.  fused=False pins the unfused
+    chain regardless (callers that vmap this function)."""
+    import os
+    import jax
+    mode = os.environ.get("SPIRAL_FOLD", "")
+    if mode != "xla" and fused is not False:
+        from .fold_pallas import fold_fused_supported, fold_rounds_fused
+        if fold_fused_supported(params) and (
+                fused or mode == "fused" or
+                jax.default_backend() == "tpu"):
+            return fold_rounds_fused(cts_coeff, q_pos, q_neg, params,
+                                     start_round=start_round,
+                                     num_rounds=num_rounds)
     eng = crt_ntt(params.poly_len)
     m = cts_coeff.shape[0]
     total = m.bit_length() - 1
@@ -87,8 +105,9 @@ def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
 
 def fold_ciphertexts(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
                      q_neg: jnp.ndarray, params: Params,
-                     start_round: int = 0) -> jnp.ndarray:
+                     start_round: int = 0,
+                     fused: bool | None = None) -> jnp.ndarray:
     """Fold all the way down; returns the single surviving ct
     (n1, n2, 2, d), coeff domain."""
     return fold_rounds(cts_coeff, q_pos, q_neg, params,
-                       start_round=start_round)[0]
+                       start_round=start_round, fused=fused)[0]

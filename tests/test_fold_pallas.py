@@ -1,0 +1,58 @@
+"""Fused fold mega-kernel vs the unfused chain: bit-exact equality.
+
+Runs the Pallas kernel in interpret mode on the CPU backend (the TPU
+compiled path is exercised by bench/e2e on hardware).  The query tensors
+are NTT-domain and engine orders differ, so each path receives the SAME
+coefficient-domain queries transformed by its own engine; both produce
+coefficient-domain outputs, which must agree bit-for-bit.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from spiral_tpu.params import B_I, P_I, Params
+from spiral_tpu.arith.ntt import crt_ntt
+from spiral_tpu.arith.ntt_pallas import crt_ntt_pallas
+from spiral_tpu.server.fold import fold_rounds
+from spiral_tpu.server.fold_pallas import fold_rounds_fused
+
+
+def _rand_residues(rng, shape):
+    x = rng.integers(0, P_I, size=shape, dtype=np.uint32)
+    y = rng.integers(0, B_I, size=shape, dtype=np.uint32)
+    return jnp.asarray(np.stack([x, y], axis=-2))
+
+
+def _setup(p, seed):
+    rng = np.random.default_rng(seed)
+    m = 1 << p.nu_2
+    d = p.poly_len
+    cts = _rand_residues(rng, (m, p.n1, p.n2, d))
+    qp_c = _rand_residues(rng, (p.nu_2, p.n1, p.m2, d))
+    qn_c = _rand_residues(rng, (p.nu_2, p.n1, p.m2, d))
+    eng, pe = crt_ntt(d), crt_ntt_pallas(d)
+    return (cts, eng.forward(qp_c), eng.forward(qn_c),
+            pe.forward(qp_c), pe.forward(qn_c))
+
+
+def test_fold_fused_bit_exact():
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=3, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 7)
+    ref = fold_rounds(cts, qp, qn, p)
+    fused = fold_rounds_fused(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
+def test_fold_fused_partial_rounds():
+    p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=2, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 11)
+    # two local rounds, then the remaining one from start_round=2 (the
+    # sharded serving split in pir.py)
+    ref = fold_rounds(cts, qp, qn, p, 0, 2)
+    fused = fold_rounds_fused(cts, qp_p, qn_p, p, 0, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+    ref2 = fold_rounds(ref, qp, qn, p, start_round=2)
+    fused2 = fold_rounds_fused(fused, qp_p, qn_p, p, start_round=2,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref2), np.asarray(fused2))
