@@ -262,9 +262,11 @@ def pack_ciphertexts(result_cts, v_W, params: Params):
     for r in range(1, out_n):
         acc = add_raw(acc, prod[r])                  # (out_n, out_n+1, 1, 2, d)
     ct2 = ct2_ntt.reshape(out_n, out_n, 1, 2, d)
-    embed = jnp.zeros_like(acc)
-    for r in range(out_n):
-        embed = embed.at[:, 1 + r, 0].set(ct2[r, :, 0])
+    # embed[c, 1 + r, 0] = ct2[r, c, 0]: one transpose + zero column
+    # (vectorized; a per-row .at[].set loop is O(out_n) device ops)
+    ct2_t = ct2[:, :, 0].transpose(1, 0, 2, 3)       # (out_n_c, out_n, 2, d)
+    embed = jnp.concatenate(
+        [jnp.zeros_like(ct2_t[:, :1]), ct2_t], axis=1)[:, :, None]
     v_int = add_raw(acc, embed)                      # (out_n_c, out_n+1, 1, 2, d)
     return v_int[:, :, 0].transpose(1, 0, 2, 3)      # (out_n+1, out_n, 2, d)
 
@@ -372,14 +374,29 @@ class PackServer:
 
         n_chunks = self._implicit_chunks
 
+        # single-device explicit DB: the fused Pallas fdim kernel (matmul
+        # + limb recombination in VMEM) when shapes allow, exactly as in
+        # SpiralServer (the same j-major limb layout is built above)
+        import os as _os
+        _mode = _os.environ.get("SPIRAL_FDIM", "")
+        use_fused = False
+        if mesh is None and not self._implicit_chunks and _mode != "xla":
+            from .server.firstdim import fused_fdim_supported
+            use_fused = (fused_fdim_supported(self._db_limbs) and
+                         (_mode == "fused" or
+                          jax.default_backend() == "tpu"))
+
         def fdim(db_limbs, first):
-            from .server.firstdim import (multiply_query_by_db_implicit,
+            from .server.firstdim import (multiply_query_by_db_fused,
+                                          multiply_query_by_db_implicit,
                                           multiply_query_by_db_mxu)
             qk = first[:, :, 0]            # (K=dim0, C=ct rows, 2, d)
             if n_chunks:
                 res = multiply_query_by_db_implicit(db_limbs, qk, n_chunks)
             elif mesh is not None:
                 res = _fdim_local(db_limbs, qk)
+            elif use_fused:
+                res = multiply_query_by_db_fused(db_limbs, qk)
             else:
                 res = multiply_query_by_db_mxu(db_limbs, qk)
             T, npr = self._trials, self._num_per

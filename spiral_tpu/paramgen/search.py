@@ -89,7 +89,8 @@ def select_params(log_n: int, item_size_bytes: int, *,
                   max_param_bytes: int | None = None,
                   max_total_query_bytes: int | None = None,
                   optimize_for: str = "",
-                  out_n_choices=(2, 4), d: int = 2048) -> Selected:
+                  out_n_choices=(2, 4), d: int = 2048,
+                  set_dims: tuple[int, int] | None = None) -> Selected:
     """Pick scheme parameters for a database of 2^log_n items of
     item_size_bytes each (the select_params.py CLI contract; constraint
     predicates and --optimize-for mirror ref select_params.py:280-330).
@@ -107,6 +108,9 @@ def select_params(log_n: int, item_size_bytes: int, *,
         m = art["variant"] == variant
         if pack:
             m &= np.isin(art["out_n"], np.asarray(out_n_choices))
+        if set_dims is not None:
+            # ref select_params.py --set-dims: pin nu_1/nu_2
+            m &= (art["nu_1"] == set_dims[0]) & (art["nu_2"] == set_dims[1])
         idx = np.nonzero(m)[0]
         cols = (art["p_log"], art["nu_1"], art["nu_2"], art["t_gsw"],
                 art["t_conv"], art["t_exp"], art["out_n"],
@@ -127,10 +131,12 @@ def select_params(log_n: int, item_size_bytes: int, *,
         return best
 
     t_choices = (2, 4, 8, 16, 32, 56)
+    nu1_range = (set_dims[0],) if set_dims else range(2, 11)
+    nu2_range = (set_dims[1],) if set_dims else range(2, 14)
     for p_log in range(2, 17):
         p_db = 1 << p_log
-        for nu_1 in range(2, 11):
-            for nu_2 in range(2, 14):
+        for nu_1 in nu1_range:
+            for nu_2 in nu2_range:
                 for t_gsw in (2, 4, 5, 8, 10, 16, 24):
                     for t_conv in t_choices:
                         for t_exp in t_choices:
@@ -198,10 +204,12 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
             params.query_size_bytes() + params.public_param_size_bytes() \
             > max_total_query_bytes:
         return None
-    # prefer a measured TPU LUT entry over the analytic proxy
-    from .build_lut import load_lut, lut_key
+    # prefer a measured TPU LUT entry over the analytic proxy — but only
+    # from the current kernel generation (stale entries mis-rank)
+    from .build_lut import KERNEL_VERSION, load_lut, lut_key
     entry = load_lut().get(lut_key(params))
-    if entry and entry.get("is_corr"):
+    if entry and entry.get("is_corr") and \
+            entry.get("kernel_version") == KERNEL_VERSION:
         cost = entry["server_s"]
     else:
         cost = tpu_cost_proxy(params, pack)

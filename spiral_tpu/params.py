@@ -301,6 +301,19 @@ PRESETS = {
                                t_gsw=8, t_conv=4, t_exp=8, t_exp_right=8,
                                poly_len=256, out_n=2,
                                query_elems_first=4, query_elems_rest=16),
+    # out_n=8: the largest packing width the search artifact emits for
+    # plain pack shapes (paramgen/sweep.py out_n grid)
+    "tiny_pack8": Params(nu_1=2, nu_2=2, p_db=256, q_prime_bits=20,
+                         t_gsw=8, t_conv=4, t_exp=8, t_exp_right=8,
+                         poly_len=256, out_n=8),
+    # the paper's SpiralStreamPack gadget widths (t_conv=t_exp=56,
+    # t_gsw=2, n=4, p=1024 — BASELINE.md 2^20x256 row) on a tiny ring
+    "tiny_stream_pack_paper": Params(nu_1=3, nu_2=2, p_db=1024,
+                                     q_prime_bits=21, t_gsw=2, t_conv=56,
+                                     t_exp=56, t_exp_right=56,
+                                     poly_len=256, out_n=4,
+                                     query_elems_first=8,
+                                     query_elems_rest=8),
 }
 
 

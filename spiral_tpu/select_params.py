@@ -37,6 +37,20 @@ def main() -> int:
     ap.add_argument("--explicit-db", action="store_true",
                     help="(compat flag; databases are always explicit here)")
     ap.add_argument("--poly-len", type=int, default=2048)
+    ap.add_argument("--set-dims", nargs=2, type=int, metavar=("NU1", "NU2"),
+                    default=None,
+                    help="pin nu_1/nu_2 instead of searching them "
+                         "(ref: select_params.py --set-dims)")
+    ap.add_argument("--build-exp-lut", action="store_true",
+                    help="after selection, measure the chosen config on "
+                         "the backend (with per-stage breakdown) and "
+                         "record it in the TPU LUT (ref: select_params.py "
+                         "--build-exp-lut)")
+    ap.add_argument("--build-fdim-lut", action="store_true",
+                    help="alias of --build-exp-lut: the TPU LUT records "
+                         "every stage of one measured run (the reference "
+                         "needed two separate builds, "
+                         "select_params.py:451-518)")
     args = ap.parse_args()
 
     from .paramgen.search import select_params
@@ -46,7 +60,9 @@ def main() -> int:
                         max_param_bytes=args.max_param_size,
                         max_total_query_bytes=args.max_total_query_size,
                         optimize_for=args.optimize_for,
-                        d=args.poly_len)
+                        d=args.poly_len,
+                        set_dims=tuple(args.set_dims)
+                        if args.set_dims else None)
     p = sel.params
     logp = int(math.log2(p.p_db))
     if args.pack:
@@ -130,6 +146,17 @@ def main() -> int:
             "tput_mb_s": round(
                 (1 << args.logN) * args.itemsize / best.total_us, 2),
         })
+    if args.build_exp_lut or args.build_fdim_lut:
+        import pathlib
+
+        from .paramgen.build_lut import (DEFAULT_LUT, _LUT_CACHE, load_lut,
+                                         lut_key, measure)
+        lut = dict(load_lut())
+        lut[lut_key(p)] = measure(p, args.pack, trials=max(2, args.trials),
+                                  stages=True)
+        pathlib.Path(DEFAULT_LUT).write_text(json.dumps(lut, indent=1))
+        _LUT_CACHE[str(DEFAULT_LUT)] = lut
+        out["lut_entry"] = lut_key(p)
     print(json.dumps(out))
     return 0
 

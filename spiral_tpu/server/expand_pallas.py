@@ -39,8 +39,7 @@ from ..params import B_I, P_I
 from ..arith.mod import mod_ctx
 from ..arith.ntt_pallas import (LIMB_BITS, N_LIMBS, _fwd_body, _inv_body,
                                 _tables)
-from ..core.gadget import gadget_invert_impl
-from .fold_pallas import _add_pair, _fold_tables, _matmul_pair
+from .fold_pallas import _fold_tables, _fwd_tiled, _matmul_limb_2d
 
 MODS = (P_I, B_I)
 
@@ -118,6 +117,8 @@ def _auto_call(n_polys: int, d: int, tile: int, interpret: bool):
             ] + table_specs,
             out_specs=pl.BlockSpec((tile, 2, d), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(cv_flat, perm, *[jnp.asarray(t) for t in inv])
         return out[:n_polys] if pad else out
@@ -136,41 +137,73 @@ def inv_ntt_automorph(cv, t: int, interpret: bool):
     return out.reshape(cv.shape)
 
 
+def _unsigned_digit_rows_2d(x_p, x_b, num_elems: int):
+    """2D in-kernel unsigned gadget: x_p/x_b (T, d) residue planes of the
+    same values -> per-limb digit-row tensors [(num_elems*T, d)] x 2,
+    rows k-major (digit k's block of T rows at k*T).  Mirrors
+    core.gadget.gadget_invert_impl on flat planes (full-sublane ops)."""
+    from ..params import get_bits_per
+    from ..arith.crt import lift_pair
+    from ..arith.u32 import shr_pair
+
+    bits_per = get_bits_per(num_elems)
+    hi, lo = lift_pair(x_p, x_b)
+    mask = jnp.uint32((1 << bits_per) - 1) if bits_per < 32 else \
+        jnp.uint32(0xFFFFFFFF)
+    digs = []
+    for k in range(num_elems):
+        assert k * bits_per < 64
+        _, piece = shr_pair(hi, lo, k * bits_per)
+        digs.append(piece & mask)
+    if bits_per < 28:
+        rows = jnp.concatenate(digs, axis=0)
+        return rows, rows
+    outs = []
+    for p in MODS:
+        ctx = mod_ctx(p)
+        outs.append(jnp.concatenate([ctx.reduce_u32(dg) for dg in digs],
+                                    axis=0))
+    return outs[0], outs[1]
+
+
 def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
     tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
 
     def kernel(cv_ref, ca_ref, w_ref, f1, f2, f3, f4, out_ref):
         ca = ca_ref[...]                          # (T, base, 2, d) coeff
-        # gadget_invert_impl expects (..., rdim=1, cols=1, 2, d)
-        c0 = ca[:, 0][:, None, None]              # (T, 1, 1, 2, d)
-        digs = gadget_invert_impl(c0, m, 1)[:, :, 0]     # (T, m, 2, d)
-        flat_rows = []
-        for li, tb in ((0, tb_p), (1, tb_b)):
+        rp, rb = _unsigned_digit_rows_2d(ca[:, 0, 0, :], ca[:, 0, 1, :],
+                                         m)      # (m*T, d) k-major
+        fwd = (f1, f2, f3, f4)
+        cv = cv_ref[...]                          # (T, base, 2, d) NTT
+        planes = []
+        for li, tb, rows in ((0, tb_p, rp), (1, tb_b, rb)):
+            ctx = mod_ctx(MODS[li])
             top = ca[:, 1, li, :]                 # (T, d) row-1 polys
-            dg = digs[..., li, :].reshape(T * m, d)
-            x = jnp.concatenate([top, dg], axis=0)
-            flat_rows.append(_fwd_body(tb, d, x, f1[li], f2[li], f3[li],
-                                       f4[li]))
-        f = jnp.stack(flat_rows, axis=-2)         # (T + T*m, 2, d) NTT
-        c1_ntt = f[:T]                            # (T, 2, d)
-        dig_ntt = f[T:].reshape(T, m, 2, d)
-        # W: (base, m, 2, d) x digits as columns (m, T, 2, d)
-        w_prod = _matmul_pair(w_ref[...],
-                              jnp.swapaxes(dig_ntt, 0, 1))  # (base, T, 2, d)
-        w_prod = jnp.swapaxes(w_prod, 0, 1)       # (T, base, 2, d)
-        out = _add_pair(cv_ref[...], w_prod)
-        bottom = _add_pair(out[:, base - 1], c1_ntt)
-        out_ref[...] = jnp.concatenate(
-            [out[:, :base - 1], bottom[:, None]], axis=1)
+            x = jnp.concatenate([top, rows], axis=0)
+            f = _fwd_tiled(tb, d, x, [t[li] for t in fwd])
+            c1_ntt = f[:T]                        # (T, d)
+            dig = f[T:].reshape(m, T * d)         # rows k, lanes (t, d)
+            W_l = w_ref[:, :, li, :]              # (base, m, d)
+            # _matmul_limb_2d broadcasts W over the T output columns
+            # per chunk (lane axes: W d, digits (t, d))
+            prod = _matmul_limb_2d(W_l, dig, ctx).reshape(base, T, d)
+            out_l = ctx.add(cv[:, :, li, :], jnp.swapaxes(prod, 0, 1))
+            bottom = ctx.add(out_l[:, base - 1], c1_ntt)
+            planes.append(jnp.concatenate(
+                [out_l[:, :base - 1], bottom[:, None]], axis=1))
+        out_ref[...] = jnp.stack(planes, axis=-2)  # (T, base, 2, d)
 
     return kernel
 
 
 def _ks_tile(m: int) -> int:
     """Cts per K2 grid step, sized so the digit working set stays well
-    inside VMEM (digits + int32 NTT intermediates scale with T*m)."""
-    budget = 160  # polys per step through the forward NTT
-    return max(1, budget // (m + 1))
+    inside VMEM (digits + int32 NTT intermediates scale with T*m).
+    Larger steps amortize the per-step serial latency; prefer multiples
+    of 8 so tensors fill whole sublane tiles."""
+    budget = 288  # polys per step through the forward NTT
+    t = max(1, budget // (m + 1))
+    return t if t < 8 else (t // 8) * 8
 
 
 @lru_cache(maxsize=None)
@@ -206,6 +239,8 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
             ] + table_specs,
             out_specs=pl.BlockSpec((T, base, 2, d), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(cv, c_auto, W, *[jnp.asarray(t) for t in fwd])
         return out[:N] if pad else out

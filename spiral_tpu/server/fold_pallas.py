@@ -41,48 +41,66 @@ from ..core.gadget import gadget_invert_signed_impl
 MODS = (P_I, B_I)
 
 
+def _matmul_limb_2d(A, B, ctx):
+    """Single-limb NTT-domain contraction, traced in-kernel.
+
+    A: (R, M, L), B: (M, L) -> (R, L), out[r] = sum_k A[r,k]*B[k] mod p.
+    L is a flattened (cols, d) lane axis so every tensor fills all 8
+    sublanes (a (..., 2, d) residue layout would waste 3/4 of the VPU).
+    Same 14-bit half-product scheme as core.poly.matmul_raw; partial
+    sums run in int32 (Mosaic has no unsigned reductions) with chunk=8
+    keeping 8*(2^14-1)^2 < 2^31.  The operands are sliced and half-split
+    PER CHUNK — splitting A/B up front quadruples their VMEM liveness
+    and blows the scoped-vmem budget at production shapes."""
+    M = A.shape[-2]
+    # A's lane axis may be just d while B's is L = rep*d (a q/W operand
+    # shared by every output column): the replication happens on the
+    # per-chunk slice, never materializing the full broadcast
+    R, L, dA = A.shape[0], B.shape[-1], A.shape[-1]
+    rep = L // dA
+    chunk = 8
+    acc = None
+    for start in range(0, M, chunk):
+        end = min(start + chunk, M)
+        a = jax.lax.slice_in_dim(A, start, end, axis=1)
+        if rep > 1:
+            ch = a.shape[1]
+            a = jnp.broadcast_to(a[:, :, None, :],
+                                 (R, ch, rep, dA)).reshape(R, ch, L)
+        b = jnp.expand_dims(jax.lax.slice_in_dim(B, start, end, axis=0), 0)
+        A0, A1 = a & jnp.uint32(0x3FFF), a >> 14
+        B0, B1 = b & jnp.uint32(0x3FFF), b >> 14
+
+        def psum(X, Y):
+            s = jnp.sum(X.astype(jnp.int32) * Y.astype(jnp.int32), axis=1)
+            return s.astype(jnp.uint32)
+
+        p00 = ctx.reduce_u32(psum(A0, B0))
+        p01 = ctx.reduce_u32(psum(A0, B1))
+        p10 = ctx.reduce_u32(psum(A1, B0))
+        p11 = ctx.reduce_u32(psum(A1, B1))
+        mid = ctx.add(p01, p10)
+        mid_r = ctx.reduce_pair(mid >> 18, mid << 14)
+        hi_r = ctx.reduce_pair(p11 >> 4, p11 << 28)
+        term = ctx.add(ctx.add(p00, mid_r), hi_r)
+        acc = term if acc is None else ctx.add(acc, term)
+    return acc
+
+
 def _matmul_pair(a, b):
     """NTT-domain matmul on residue pairs, traced in-kernel.
 
-    a: (R, M, 2, d), b: (M, C, 2, d) -> (R, C, 2, d).  Same 14-bit
-    half-product scheme as core.poly.matmul_raw (which is jitted and so
-    can't be called from inside a Mosaic kernel body).  Partial sums run
-    in int32 (Mosaic has no unsigned reductions); chunk=8 keeps
-    8*(2^14-1)^2 < 2^31 so the signed accumulator never wraps."""
-    M = a.shape[-3]
-    chunk = 8
+    a: (R, M, 2, d), b: (M, C, 2, d) -> (R, C, 2, d): a thin wrapper
+    around _matmul_limb_2d with the (C, d) axes flattened into lanes."""
+    R, M = a.shape[0], a.shape[1]
+    C, d = b.shape[1], b.shape[-1]
     outs = []
     for li, p in enumerate(MODS):
         ctx = mod_ctx(p)
-        A = a[..., li, :]   # (R, M, d)
-        B = b[..., li, :]   # (M, C, d)
-        A0, A1 = A & jnp.uint32(0x3FFF), A >> 14
-        B0, B1 = B & jnp.uint32(0x3FFF), B >> 14
-        acc = None
-        for start in range(0, M, chunk):
-            end = min(start + chunk, M)
-
-            def psum(X, Y):
-                # explicit slice/expand_dims: fancy indexing with a
-                # newaxis lowers to a (unsupported >2D) gather in Mosaic
-                xs = jnp.expand_dims(
-                    jax.lax.slice_in_dim(X, start, end, axis=1), 2)
-                ys = jnp.expand_dims(
-                    jax.lax.slice_in_dim(Y, start, end, axis=0), 0)
-                s = jnp.sum(xs.astype(jnp.int32) * ys.astype(jnp.int32),
-                            axis=-3)
-                return s.astype(jnp.uint32)
-
-            p00 = ctx.reduce_u32(psum(A0, B0))
-            p01 = ctx.reduce_u32(psum(A0, B1))
-            p10 = ctx.reduce_u32(psum(A1, B0))
-            p11 = ctx.reduce_u32(psum(A1, B1))
-            mid = ctx.add(p01, p10)
-            mid_r = ctx.reduce_pair(mid >> 18, mid << 14)
-            hi_r = ctx.reduce_pair(p11 >> 4, p11 << 28)
-            term = ctx.add(ctx.add(p00, mid_r), hi_r)
-            acc = term if acc is None else ctx.add(acc, term)
-        outs.append(acc)
+        A = jnp.broadcast_to(a[:, :, li, :][:, :, None, :],
+                             (R, M, C, d)).reshape(R, M, C * d)
+        B = b[..., li, :].reshape(M, C * d)
+        outs.append(_matmul_limb_2d(A, B, ctx).reshape(R, C, d))
     return jnp.stack(outs, axis=-2)
 
 
@@ -93,36 +111,102 @@ def _add_pair(a, b):
     return jnp.stack(outs, axis=-2)
 
 
-def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int):
+def _signed_digit_rows_2d(x_p, x_b, num_elems: int):
+    """2D in-kernel signed gadget: x_p/x_b (P, d) canonical residues of
+    the SAME values -> per-limb digit-row tensors [(num_elems*P, d)] x 2,
+    rows ordered k-major (digit k's block of P rows at k*P).
+
+    Exactly core.gadget.gadget_invert_signed_impl's math, restated on
+    flat (rows, d) planes so every elementwise op fills all 8 sublanes
+    (the (..., 2, d) residue layout wastes 3/4 of the VPU in-kernel)."""
+    from ..params import Q, get_bits_per
+    from ..arith.crt import lift_pair
+    from ..arith.u32 import shr_pair
+
+    bits_per = get_bits_per(num_elems)
+    z = 1 << bits_per
+    half_z = jnp.uint32(z // 2)
+    hi, lo = lift_pair(x_p, x_b)
+    mask = jnp.uint32((1 << bits_per) - 1) if bits_per < 32 else \
+        jnp.uint32(0xFFFFFFFF)
+    digs = []
+    for k in range(num_elems):
+        _, piece = shr_pair(hi, lo, k * bits_per)
+        digs.append(piece & mask)
+
+    corr = [jnp.uint32((Q - z) % p) for p in MODS]
+    rows = [[None] * num_elems, [None] * num_elems]
+    small = bits_per + 1 < 28
+    for half in (0, 1):
+        ks = range(0, num_elems // 2) if half == 0 else range(
+            num_elems // 2, num_elems)
+        carry = jnp.zeros_like(digs[0])
+        for k in ks:
+            piece = digs[k] + carry
+            if half == 0:
+                do_sign = (piece > half_z) & (k < num_elems // 2 - 1)
+            else:
+                do_sign = piece > half_z
+            carry = do_sign.astype(jnp.uint32)
+            for li, p in enumerate(MODS):
+                ctx = mod_ctx(p)
+                r = piece if small else ctx.reduce_u32(piece)
+                rows[li][k] = jnp.where(do_sign, ctx.add(r, corr[li]), r)
+    return (jnp.concatenate(rows[0], axis=0),
+            jnp.concatenate(rows[1], axis=0))
+
+
+def _fwd_tiled(tb, d, rows, tabs, max_rows: int = 128):
+    """_fwd_body over static sub-tiles so the int32 NTT intermediates
+    ((rows, 16, 512) per stage) stay a few MB regardless of batch."""
+    n = rows.shape[0]
+    if n <= max_rows:
+        return _fwd_body(tb, d, rows, *tabs)
+    outs = []
+    for start in range(0, n, max_rows):
+        end = min(start + max_rows, n)
+        outs.append(_fwd_body(
+            tb, d, jax.lax.slice_in_dim(rows, start, end, axis=0), *tabs))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
+    """One grid step folds TC adjacent ct PAIRS (both mux sources) into
+    TC output cts.  Fewer, larger steps amortize the per-step serial
+    latency (a 1-pair-1-source step measured ~180 us fixed cost on v5e,
+    swamping its ~15 us of arithmetic)."""
     tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
     m2 = t_gsw * n1
+    P = n1 * n2
+    L = n2 * d
 
-    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4,
-               out_ref, acc_ref):
-        s = pl.program_id(1)
-        ct = cts_ref[0, 0]                        # (n1, n2, 2, d)
-        digs = gadget_invert_signed_impl(ct, t_gsw, n1)  # (m2, n2, 2, d)
-        planes = []
-        for li, tb in ((0, tb_p), (1, tb_b)):
-            x = digs[..., li, :].reshape(m2 * n2, d)
-            y = _fwd_body(tb, d, x, f1[li], f2[li], f3[li], f4[li])
-            planes.append(y.reshape(m2, n2, d))
-        g_ntt = jnp.stack(planes, axis=-2)        # (m2, n2, 2, d)
-        prod = _matmul_pair(q_ref[0], g_ntt)      # (n1, n2, 2, d)
-
-        @pl.when(s == 0)
-        def _():
-            acc_ref[...] = prod
-
-        @pl.when(s == 1)
-        def _():
-            tot = _add_pair(acc_ref[...], prod)
-            outs = []
-            for li, tb in ((0, tb_p), (1, tb_b)):
-                x = tot[..., li, :].reshape(n1 * n2, d)
-                y = _inv_body(tb, d, x, i1[li], i2[li], i3[li], i4[li])
-                outs.append(y.reshape(n1, n2, d))
-            out_ref[0] = jnp.stack(outs, axis=-2)
+    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, out_ref):
+        # cts block (TC, 2, n1, n2, 2, d): flatten (tc, s, j, c) polys
+        ct = cts_ref[...].reshape(TC * 2 * P, 2, d)
+        rp, rb = _signed_digit_rows_2d(ct[:, 0, :], ct[:, 1, :], t_gsw)
+        fwd = (f1, f2, f3, f4)
+        inv = (i1, i2, i3, i4)
+        outs = []
+        for li, tb, rows in ((0, tb_p, rp), (1, tb_b, rb)):
+            ctx = mod_ctx(MODS[li])
+            g = _fwd_tiled(tb, d, rows, [t[li] for t in fwd])
+            # rows are (k, tc, s, j, c); the contraction wants, per
+            # source s, B_s[(k, j), (tc, c, d)]
+            g5 = g.reshape(t_gsw, TC, 2, n1, L)
+            gt = jnp.transpose(g5, (2, 0, 3, 1, 4))   # (s, k, j, tc, L)
+            B = gt.reshape(2, m2, TC * L)
+            acc = None
+            for s in range(2):
+                q_l = q_ref[s, :, :, li, :]           # (n1, m2, d)
+                p_s = _matmul_limb_2d(q_l, B[s], ctx)  # (n1, TC*L)
+                acc = p_s if acc is None else ctx.add(acc, p_s)
+            # (n1, tc, c, d) -> rows (tc, j, c) for the inverse NTT
+            t4 = acc.reshape(n1, TC, n2, d)
+            y = _inv_body(tb, d,
+                          jnp.transpose(t4, (1, 0, 2, 3)).reshape(
+                              TC * P, d), *[t[li] for t in inv])
+            outs.append(y.reshape(TC, n1, n2, d))
+        out_ref[...] = jnp.stack(outs, axis=-2)       # (TC, n1, n2, 2, d)
 
     return kernel
 
@@ -139,15 +223,21 @@ def _fold_tables(d: int):
     return fwd, inv
 
 
+import os
+
+_FOLD_TC = int(os.environ.get("SPIRAL_FOLD_TC", "2"))
+
+
 @lru_cache(maxsize=None)
 def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                      interpret: bool):
     m2 = t_gsw * n1
-    kernel = _make_fold_kernel(t_gsw, n1, n2, d)
+    TC = min(_FOLD_TC, m_out)
+    kernel = _make_fold_kernel(t_gsw, n1, n2, d, TC)
     fwd, inv = _fold_tables(d)
     tabs = fwd + inv
     table_specs = [
-        pl.BlockSpec(t.shape, lambda i, s, nd=t.ndim: (0,) * nd,
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for t in tabs
     ]
@@ -157,21 +247,24 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
             kernel,
             out_shape=jax.ShapeDtypeStruct((m_out, n1, n2, 2, d),
                                            jnp.uint32),
-            grid=(m_out, 2),
+            grid=(m_out // TC,),
             in_specs=[
-                pl.BlockSpec((1, 1, n1, n2, 2, d),
-                             lambda i, s: (i, s, 0, 0, 0, 0),
+                pl.BlockSpec((TC, 2, n1, n2, 2, d),
+                             lambda i: (i, 0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, m2, 2, d),
-                             lambda i, s: (s, 0, 0, 0, 0),
+                pl.BlockSpec((2, n1, m2, 2, d),
+                             lambda i: (0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + table_specs,
-            out_specs=pl.BlockSpec((1, n1, n2, 2, d),
-                                   lambda i, s: (i, 0, 0, 0, 0),
+            out_specs=pl.BlockSpec((TC, n1, n2, 2, d),
+                                   lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((n1, n2, 2, d), jnp.uint32)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
+                dimension_semantics=("arbitrary",),
+                # the default 16 MB scoped-vmem budget is conservative;
+                # raise it so the digit/NTT working set fits without
+                # forcing tiny tiles (v5e has headroom above the default)
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(cts_pairs, q_cat, *[jnp.asarray(t) for t in tabs])
 

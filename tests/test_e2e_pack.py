@@ -44,3 +44,18 @@ def test_streampack_e2e_big_p():
     """p_db=2^16, out_n=4 (the model-selected spiralstreampack shape)."""
     ok, _ = _run(preset("tiny_stream_pack_bigp"), nonoise=False)
     assert ok
+
+
+def test_pack_e2e_out_n8():
+    """out_n=8: the widest packing the search artifact emits
+    (paramgen/sweep.py out_n grid; ref: select_params.py n sweep)."""
+    ok, _ = _run(preset("tiny_pack8"), nonoise=False)
+    assert ok
+
+
+def test_streampack_e2e_paper_gadgets():
+    """The paper's SpiralStreamPack gadget widths (t_conv=t_exp=56,
+    t_gsw=2, n=4, p=1024 — BASELINE.md's 2^20 x 256 B row) on a tiny
+    ring (ref: src/testing.cpp:777-1155 testHighRate)."""
+    ok, _ = _run(preset("tiny_stream_pack_paper"), nonoise=False)
+    assert ok
