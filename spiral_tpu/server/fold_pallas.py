@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import B_I, P_I, Params
 from ..arith.mod import mod_ctx
 from ..arith.ntt_pallas import (D1, D2, _fwd_body, _inv_body, _tables)
-from ..core.gadget import gadget_invert_signed_impl
 
 MODS = (P_I, B_I)
 
@@ -55,30 +54,42 @@ def _matmul_limb_2d(A, B, ctx):
     M = A.shape[-2]
     # A's lane axis may be just d while B's is L = rep*d (a q/W operand
     # shared by every output column): the replication happens on the
-    # per-chunk slice, never materializing the full broadcast
+    # per-term slice, never materializing the full broadcast
     R, L, dA = A.shape[0], B.shape[-1], A.shape[-1]
     rep = L // dA
-    chunk = 8
+    chunk = 16
+    A0, A1 = A & jnp.uint32(0x3FFF), A >> 14
+    B0, B1 = B & jnp.uint32(0x3FFF), B >> 14
+
+    def term_rep(X, k):
+        t = jax.lax.slice_in_dim(X, k, k + 1, axis=1)   # (R, 1, dA)
+        if rep > 1:
+            t = jnp.broadcast_to(t, (R, rep, dA))
+        return t.reshape(R, L)
+
     acc = None
     for start in range(0, M, chunk):
         end = min(start + chunk, M)
-        a = jax.lax.slice_in_dim(A, start, end, axis=1)
-        if rep > 1:
-            ch = a.shape[1]
-            a = jnp.broadcast_to(a[:, :, None, :],
-                                 (R, ch, rep, dA)).reshape(R, ch, L)
-        b = jnp.expand_dims(jax.lax.slice_in_dim(B, start, end, axis=0), 0)
-        A0, A1 = a & jnp.uint32(0x3FFF), a >> 14
-        B0, B1 = b & jnp.uint32(0x3FFF), b >> 14
-
-        def psum(X, Y):
-            s = jnp.sum(X.astype(jnp.int32) * Y.astype(jnp.int32), axis=1)
-            return s.astype(jnp.uint32)
-
-        p00 = ctx.reduce_u32(psum(A0, B0))
-        p01 = ctx.reduce_u32(psum(A0, B1))
-        p10 = ctx.reduce_u32(psum(A1, B0))
-        p11 = ctx.reduce_u32(psum(A1, B1))
+        # Sequential multiply-accumulate over the contraction terms: a
+        # vectorized jnp.sum over a (R, chunk, L) product tensor reduces
+        # across SUBLANES, which Mosaic lowers as slow shuffle chains
+        # (measured: it dominated the whole fold kernel).  Elementwise
+        # u32 FMAs are exact: chunk=16 keeps 16*(2^14-1)^2 < 2^32.
+        c00 = c01 = c10 = c11 = None
+        for k in range(start, end):
+            a0, a1 = term_rep(A0, k), term_rep(A1, k)
+            b0 = jax.lax.slice_in_dim(B0, k, k + 1, axis=0)
+            b1 = jax.lax.slice_in_dim(B1, k, k + 1, axis=0)
+            if c00 is None:
+                c00, c01 = a0 * b0, a0 * b1
+                c10, c11 = a1 * b0, a1 * b1
+            else:
+                c00, c01 = c00 + a0 * b0, c01 + a0 * b1
+                c10, c11 = c10 + a1 * b0, c11 + a1 * b1
+        p00 = ctx.reduce_u32(c00)
+        p01 = ctx.reduce_u32(c01)
+        p10 = ctx.reduce_u32(c10)
+        p11 = ctx.reduce_u32(c11)
         mid = ctx.add(p01, p10)
         mid_r = ctx.reduce_pair(mid >> 18, mid << 14)
         hi_r = ctx.reduce_pair(p11 >> 4, p11 << 28)
@@ -181,26 +192,32 @@ def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
     L = n2 * d
 
     def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, out_ref):
-        # cts block (TC, 2, n1, n2, 2, d): flatten (tc, s, j, c) polys
-        ct = cts_ref[...].reshape(TC * 2 * P, 2, d)
-        rp, rb = _signed_digit_rows_2d(ct[:, 0, :], ct[:, 1, :], t_gsw)
+        ct = cts_ref[...]                 # (TC, 2, n1, n2, 2, d)
         fwd = (f1, f2, f3, f4)
         inv = (i1, i2, i3, i4)
+        # Reorder each mux source to (j, tc, c) row order BEFORE the
+        # digit decomposition: digit rows concatenated k-major then land
+        # directly in (k*n1+j, (tc, c, d)) matmul layout, so the (large)
+        # NTT output needs NO in-kernel relayout — a 5D transpose of the
+        # digit tensor was the dominant per-step cost in the previous
+        # revision.  The reorder itself touches only the small ct block.
+        rows_sl = []                      # [s][limb] -> (t_gsw*TC*P, d)
+        for s in range(2):
+            v = jnp.transpose(ct[:, s], (1, 0, 2, 3, 4)).reshape(
+                n1 * TC * n2, 2, d)
+            rows_sl.append(_signed_digit_rows_2d(v[:, 0, :], v[:, 1, :],
+                                                 t_gsw))
         outs = []
-        for li, tb, rows in ((0, tb_p, rp), (1, tb_b, rb)):
+        for li, tb in ((0, tb_p), (1, tb_b)):
             ctx = mod_ctx(MODS[li])
-            g = _fwd_tiled(tb, d, rows, [t[li] for t in fwd])
-            # rows are (k, tc, s, j, c); the contraction wants, per
-            # source s, B_s[(k, j), (tc, c, d)]
-            g5 = g.reshape(t_gsw, TC, 2, n1, L)
-            gt = jnp.transpose(g5, (2, 0, 3, 1, 4))   # (s, k, j, tc, L)
-            B = gt.reshape(2, m2, TC * L)
             acc = None
             for s in range(2):
+                g = _fwd_tiled(tb, d, rows_sl[s][li],
+                               [t[li] for t in fwd])
+                B = g.reshape(m2, TC * L)  # rows k*n1+j, lanes (tc,c,d)
                 q_l = q_ref[s, :, :, li, :]           # (n1, m2, d)
-                p_s = _matmul_limb_2d(q_l, B[s], ctx)  # (n1, TC*L)
+                p_s = _matmul_limb_2d(q_l, B, ctx)    # (n1, TC*L)
                 acc = p_s if acc is None else ctx.add(acc, p_s)
-            # (n1, tc, c, d) -> rows (tc, j, c) for the inverse NTT
             t4 = acc.reshape(n1, TC, n2, d)
             y = _inv_body(tb, d,
                           jnp.transpose(t4, (1, 0, 2, 3)).reshape(
@@ -225,7 +242,7 @@ def _fold_tables(d: int):
 
 import os
 
-_FOLD_TC = int(os.environ.get("SPIRAL_FOLD_TC", "2"))
+_FOLD_TC = int(os.environ.get("SPIRAL_FOLD_TC", "1"))
 
 
 @lru_cache(maxsize=None)
@@ -264,7 +281,7 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                 # the default 16 MB scoped-vmem budget is conservative;
                 # raise it so the digit/NTT working set fits without
                 # forcing tiny tiles (v5e has headroom above the default)
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(cts_pairs, q_cat, *[jnp.asarray(t) for t in tabs])
 

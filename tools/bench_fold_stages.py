@@ -21,7 +21,7 @@ from spiral_tpu.server.fold_pallas import (_fold_tables, _matmul_limb_2d,
 
 p = preset("spiral_20_256")
 d = p.poly_len
-TC = 2
+TC = 1
 m_out = 64
 t_gsw, n1, n2 = p.t_gsw, p.n1, p.n2
 m2, P, L = t_gsw * n1, n1 * n2, n2 * d
@@ -116,9 +116,10 @@ def make(stage):
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=False,
-        )(cts_pairs, q)
+        )(cts_pairs, q, *[jnp.asarray(t) for t in tabs])
 
     return run
 
