@@ -95,6 +95,15 @@ def run_variant(name: str, params, rng, trials: int = 1,
     for _ in range(max(1, trials)):
         resp, server_s = server.process_query_fused(query)
         best = server_s if best is None else min(best, server_s)
+    # steady-state serving time: K queries through async dispatch, host
+    # round trip amortized (the quantity the cost model predicts — the
+    # single-dispatch wall above additionally carries one attachment RTT)
+    import jax as _jax
+    stream = [client.query(int(rng.integers(0, params.total_n)))
+              for _ in range(4)]
+    t_p0 = time.perf_counter()
+    _jax.device_get([server._run_single(q) for q in stream])
+    pipelined_s = (time.perf_counter() - t_p0) / len(stream)
     t_dec0 = time.time()
     out = client.decode(resp)
     decoding_s = time.time() - t_dec0
@@ -115,6 +124,7 @@ def run_variant(name: str, params, rng, trials: int = 1,
         "resp_b": resp_b,
         "rate": round(item_b / resp_b, 4),
         "server_s": round(best, 4),
+        "pipelined_s": round(pipelined_s, 4),
         "tput_MB_s": round(db_b / best / 1e6, 1),
         "cost_usd": round(get_cost(best * 1e6, resp_b), 9),
         "setup_s": round(setup_s, 1),

@@ -58,6 +58,7 @@ def measure(params, pack: bool, trials: int = 2,
     row = run_variant(name, params, rng, trials=trials, want_stages=stages)
     out = {
         "server_s": row["server_s"],
+        "pipelined_s": row.get("pipelined_s"),
         "tput_MB_s": row["tput_MB_s"],
         "query_sz": row["query_b"],
         "resp_sz": row["resp_b"],
@@ -84,7 +85,7 @@ def analyze_deviation(lut: dict) -> list:
         p = Params(**entry["params"])
         pack = "pack" in str(entry.get("variant", ""))
         model_s = tpu_cost_proxy(p, pack)
-        meas = entry["server_s"]
+        meas = entry.get("pipelined_s") or entry["server_s"]
         rows.append({"key": key, "measured_s": meas,
                      "model_s": round(model_s, 4),
                      "ratio": round(meas / model_s, 3) if model_s else None,

