@@ -104,6 +104,10 @@ class _Tables:
               np.array([pow(psi, a, p) for a in range(D2)],
                        dtype=object)[None, :]) % p       # [e, a]
         W2f = _powmat(pow(w, D1, p), D2, D2, p)          # [a, c]
+        # raw (unprescaled) forward matrices, kept for host-side constant
+        # transforms (_bias_row computes bias*NTT(ones) for the i8 path)
+        self.M1f_raw = M1f.astype(np.uint64)
+        self.W2f_raw = W2f.astype(np.uint64)
         self.m1fT = np.ascontiguousarray(
             _prescaled_imajor(M1f.astype(np.uint32), p).T)       # (64, 64)
         self.w2f = _prescaled_imajor(W2f.astype(np.uint32), p)   # (512, 512)
@@ -199,6 +203,63 @@ def _recombine(o0, o1, o2, o3, tb: _Tables):
 def _limb_planes(v):
     return [((v >> jnp.uint32(LIMB_BITS * j)) & jnp.uint32(0x7F)
              ).astype(jnp.int8) for j in range(N_LIMBS)]
+
+
+def _recombine_signed(o0, o1, o2, o3, tb: _Tables):
+    """_recombine for SIGNED int32 limb planes (|o_i| < 2^18, from an
+    int8 single-limb matmul): shift each pair-sum into u32 range with a
+    multiple of p (p itself: 2^28-ish >> 2^25 bound) before the Solinas
+    reduce — the shift is ≡ 0 mod p, so the result is exact."""
+    off = jnp.int32(tb.p)
+    s01 = (o0 + (o1 << 7) + off).astype(jnp.uint32)
+    s23 = (o2 + (o3 << 7) + off).astype(jnp.uint32)
+    r01 = _reduce_u32(s01, tb)
+    r23 = _reduce_u32(s23, tb)
+    r23 = _mul_shoup(r23, jnp.uint32(tb.rw2), jnp.uint32(tb.rw2_shoup), tb.p)
+    s = r01 + r23
+    p = jnp.uint32(tb.p)
+    return jnp.where(s >= p, s - p, s)
+
+
+@lru_cache(maxsize=None)
+def _bias_row(p: int, d: int, bias: int) -> np.ndarray:
+    """Engine-order forward NTT of the constant polynomial
+    bias*(1 + x + ... + x^{d-1}) as a (d,) u32 host row.  Added after an
+    int8 transform of (digits - bias), this undoes the bias by NTT
+    linearity (lets unsigned 8-bit digits ride signed int8)."""
+    tb = _tables(p, d)
+    G = tb.M1f_raw.astype(object).sum(axis=0) % p            # [e]
+    H = (tb.tf.astype(object) * G[:, None]) % p              # [e, a]
+    X = (H @ tb.W2f_raw.astype(object)) % p                  # [e, c]
+    return ((X * bias) % p).astype(np.uint32).reshape(d)     # o~ = 128e+c
+
+
+def _fwd_body_i8(tb: _Tables, d: int, x8, m1T, tf, tfs, w2):
+    """Forward transform of SMALL-VALUE rows: x8 (T, d) int8 whose entries
+    v satisfy v ≡ x (mod p) for the intended input x (gadget digits are
+    at most 8 bits wide at production widths, so one signed limb replaces
+    the four 7-bit planes of _fwd_body).  Single-limb first matmul against
+    the j=0 block of the prescaled table + signed recombination; the rest
+    of the transform is identical, so the output is bit-exact vs
+    _fwd_body on the canonical residues of the same values."""
+    T = x8.shape[0]
+    v = x8.reshape(T, D1, D2)
+    o1 = jax.lax.dot_general(
+        v, jnp.swapaxes(m1T[:, :D1], 0, 1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (T, 128a, 64ie)
+    o1 = jnp.swapaxes(o1, -1, -2)                     # (T, 64, 128)
+    g = _recombine_signed(o1[:, 0:D1], o1[:, D1:2 * D1],
+                          o1[:, 2 * D1:3 * D1], o1[:, 3 * D1:], tb)
+    h = _mul_shoup(g, tf[None], tfs[None], tb.p)      # (T, 16, 128)
+    l2 = jnp.concatenate(_limb_planes(h), axis=-1)    # (T, 16, 512)
+    o2 = jax.lax.dot_general(
+        l2, w2,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (T, 16, 512)
+    z = _recombine(o2[..., 0:D2], o2[..., D2:2 * D2],
+                   o2[..., 2 * D2:3 * D2], o2[..., 3 * D2:], tb)
+    return z.reshape(T, d)                            # o~ = 128e + c
 
 
 _EMAJOR = os.environ.get("SPIRAL_NTT_FORM", "tmajor") == "emajor"

@@ -166,27 +166,76 @@ def _unsigned_digit_rows_2d(x_p, x_b, num_elems: int):
     return outs[0], outs[1]
 
 
-def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
-    tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
+def _unsigned_digit_rows_i8(x_p, x_b, num_elems: int, bias: int):
+    """Unsigned gadget digits as ONE int8 tensor shared by both CRT
+    limbs: (T, d) residue planes -> (num_elems*T, d) int8, rows k-major,
+    entry = digit - bias.  Valid for bits_per <= 8 (bias = 128 recenters
+    8-bit digits into int8; the caller adds bias*NTT(ones) back after the
+    transform — NTT linearity)."""
+    from ..params import get_bits_per
+    from ..arith.crt import lift_pair
+    from ..arith.u32 import shr_pair
 
-    def kernel(cv_ref, ca_ref, w_ref, f1, f2, f3, f4, out_ref):
+    bits_per = get_bits_per(num_elems)
+    assert bits_per <= 8, bits_per
+    hi, lo = lift_pair(x_p, x_b)
+    mask = jnp.uint32((1 << bits_per) - 1)
+    rows = []
+    for k in range(num_elems):
+        assert k * bits_per < 64
+        _, piece = shr_pair(hi, lo, k * bits_per)
+        rows.append(((piece & mask).astype(jnp.int32) -
+                     jnp.int32(bias)).astype(jnp.int8))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _ks_i8_bias(m: int) -> tuple[bool, int]:
+    """(use int8 digit path, digit bias) for gadget width m."""
+    from ..params import get_bits_per
+    bits_per = get_bits_per(m)
+    return bits_per <= 8, (128 if bits_per == 8 else 0)
+
+
+def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
+    from .fold_pallas import _fwd_tiled_i8
+    tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
+    i8, bias = _ks_i8_bias(m)
+
+    def kernel(cv_ref, ca_ref, w_ref, f1, f2, f3, f4, *rest):
+        out_ref = rest[-1]
+        corr_ref = rest[0] if bias else None
         ca = ca_ref[...]                          # (T, base, 2, d) coeff
-        rp, rb = _unsigned_digit_rows_2d(ca[:, 0, 0, :], ca[:, 0, 1, :],
-                                         m)      # (m*T, d) k-major
+        if i8:
+            rows8 = _unsigned_digit_rows_i8(
+                ca[:, 0, 0, :], ca[:, 0, 1, :], m, bias)  # (m*T, d) int8
+            rp = rb = None
+        else:
+            rp, rb = _unsigned_digit_rows_2d(
+                ca[:, 0, 0, :], ca[:, 0, 1, :], m)        # (m*T, d) k-major
         fwd = (f1, f2, f3, f4)
         cv = cv_ref[...]                          # (T, base, 2, d) NTT
         planes = []
         for li, tb, rows in ((0, tb_p, rp), (1, tb_b, rb)):
             ctx = mod_ctx(MODS[li])
             top = ca[:, 1, li, :]                 # (T, d) row-1 polys
-            x = jnp.concatenate([top, rows], axis=0)
-            f = _fwd_tiled(tb, d, x, [t[li] for t in fwd])
-            c1_ntt = f[:T]                        # (T, d)
-            dig = f[T:].reshape(m, T * d)         # rows k, lanes (t, d)
+            tabs_l = [t[li] for t in fwd]
+            if i8:
+                c1_ntt = _fwd_tiled(tb, d, top, tabs_l)
+                f_dig = _fwd_tiled_i8(tb, d, rows8, tabs_l)
+            else:
+                x = jnp.concatenate([top, rows], axis=0)
+                f = _fwd_tiled(tb, d, x, tabs_l)
+                c1_ntt = f[:T]                    # (T, d)
+                f_dig = f[T:]
+            dig = f_dig.reshape(m, T * d)         # rows k, lanes (t, d)
             W_l = w_ref[:, :, li, :]              # (base, m, d)
             # _matmul_limb_2d broadcasts W over the T output columns
             # per chunk (lane axes: W d, digits (t, d))
             prod = _matmul_limb_2d(W_l, dig, ctx).reshape(base, T, d)
+            if bias:
+                # undo the digit bias after the matmul (linearity):
+                # + bias*NTT(ones) ⊙ Σ_k W[:, k], broadcast over T
+                prod = ctx.add(prod, corr_ref[:, li, :][:, None, :])
             out_l = ctx.add(cv[:, :, li, :], jnp.swapaxes(prod, 0, 1))
             bottom = ctx.add(out_l[:, base - 1], c1_ntt)
             planes.append(jnp.concatenate(
@@ -212,6 +261,31 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
     grid = (N + T - 1) // T
     kernel = _make_keyswitch_kernel(m, base, d, T)
     fwd, _ = _fold_tables(d)
+    _, bias = _ks_i8_bias(m)
+    extra_specs = []
+    if bias:
+        extra_specs.append(pl.BlockSpec((base, 2, d), lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+
+    def w_bias_corr(W):
+        """corr[b, li, z] = bias * NTT(ones)[li, z] * Σ_k W[b, k, li, z]
+        (mod p_li) — the matmul-level bias undo, computed in XLA from
+        the (tiny) key-switch matrix."""
+        from ..arith.mod import mod_ctx as _mc
+        from ..arith.ntt_pallas import _bias_row
+        outs = []
+        for li, p in enumerate((P_I, B_I)):
+            ctx = _mc(p)
+            s = jnp.zeros_like(W[:, 0, li, :])
+            for k in range(m):
+                s = s + W[:, k, li, :]
+                if k % 14 == 13:                   # 15 * 2^28 < 2^32
+                    s = ctx.reduce_u32(s)
+            s = ctx.reduce_u32(s)
+            C = jnp.asarray(_bias_row(p, d, bias))
+            outs.append(ctx.mul(s, C[None, :]))
+        return jnp.stack(outs, axis=-2)            # (base, 2, d)
+
     table_specs = [
         pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -225,6 +299,7 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
             z = jnp.zeros((pad, base, 2, d), dtype=jnp.uint32)
             cv = jnp.concatenate([cv, z], axis=0)
             c_auto = jnp.concatenate([c_auto, z], axis=0)
+        extra = [w_bias_corr(W)] if bias else []
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(cv.shape, jnp.uint32),
@@ -236,13 +311,13 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((base, m, 2, d), lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + table_specs,
+            ] + table_specs + extra_specs,
             out_specs=pl.BlockSpec((T, base, 2, d), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(cv, c_auto, W, *[jnp.asarray(t) for t in fwd])
+        )(cv, c_auto, W, *[jnp.asarray(t) for t in fwd], *extra)
         return out[:N] if pad else out
 
     return run

@@ -181,17 +181,86 @@ def _fwd_tiled(tb, d, rows, tabs, max_rows: int = 128):
     return jnp.concatenate(outs, axis=0)
 
 
+def _fwd_tiled_i8(tb, d, rows_i8, tabs, max_rows: int = 128):
+    """_fwd_body_i8 over static sub-tiles (same bound as _fwd_tiled)."""
+    from ..arith.ntt_pallas import _fwd_body_i8
+    n = rows_i8.shape[0]
+    if n <= max_rows:
+        return _fwd_body_i8(tb, d, rows_i8, *tabs)
+    outs = []
+    for start in range(0, n, max_rows):
+        end = min(start + max_rows, n)
+        outs.append(_fwd_body_i8(
+            tb, d, jax.lax.slice_in_dim(rows_i8, start, end, axis=0),
+            *tabs))
+    return jnp.concatenate(outs, axis=0)
+
+
+FOLD_I8_BIAS = 64
+
+
+def _signed_digit_rows_i8(x_p, x_b, num_elems: int):
+    """Signed gadget digits as ONE int8 tensor shared by both CRT limbs:
+    x_p/x_b (P, d) canonical residues -> (num_elems*P, d) int8, rows
+    k-major, entry = signed digit - FOLD_I8_BIAS.  Valid for
+    bits_per <= 7: signed digits lie in [-z/2+1, z/2] EXCEPT the
+    half-boundary digit k = num_elems//2 - 1 (never sign-corrected, up
+    to +z = 128, one past int8); the uniform -64 bias maps every case
+    into [-127, 64].  The caller undoes the bias AFTER the external-
+    product matmul by adding bias * NTT(ones) ⊙ Σ_k q[:, k] (NTT and
+    matmul linearity) — see fold_rounds_fused.  Digit/carry math is
+    exactly _signed_digit_rows_2d's."""
+    from ..params import get_bits_per
+    from ..arith.crt import lift_pair
+    from ..arith.u32 import shr_pair
+
+    bits_per = get_bits_per(num_elems)
+    assert bits_per <= 7, bits_per
+    z = 1 << bits_per
+    half_z = jnp.uint32(z // 2)
+    hi, lo = lift_pair(x_p, x_b)
+    mask = jnp.uint32((1 << bits_per) - 1)
+    digs = []
+    for k in range(num_elems):
+        _, piece = shr_pair(hi, lo, k * bits_per)
+        digs.append(piece & mask)
+
+    rows = [None] * num_elems
+    for half in (0, 1):
+        ks = range(0, num_elems // 2) if half == 0 else range(
+            num_elems // 2, num_elems)
+        carry = jnp.zeros_like(digs[0])
+        for k in ks:
+            piece = digs[k] + carry
+            if half == 0:
+                do_sign = (piece > half_z) & (k < num_elems // 2 - 1)
+            else:
+                do_sign = piece > half_z
+            carry = do_sign.astype(jnp.uint32)
+            rows[k] = (piece.astype(jnp.int32) -
+                       jnp.int32(z) * carry.astype(jnp.int32) -
+                       jnp.int32(FOLD_I8_BIAS)).astype(jnp.int8)
+    return jnp.concatenate(rows, axis=0)
+
+
 def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
     """One grid step folds TC adjacent ct PAIRS (both mux sources) into
     TC output cts.  Fewer, larger steps amortize the per-step serial
     latency (a 1-pair-1-source step measured ~180 us fixed cost on v5e,
     swamping its ~15 us of arithmetic)."""
+    from ..params import get_bits_per
     tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
     m2 = t_gsw * n1
     P = n1 * n2
     L = n2 * d
+    # bits_per <= 7 (production t_gsw >= 9): signed digits fit int8, so
+    # ONE digit tensor serves both CRT limbs and the forward NTT's first
+    # matmul contracts a single signed limb instead of four 7-bit planes
+    i8_digits = get_bits_per(t_gsw) <= 7
 
-    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, out_ref):
+    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, *rest):
+        out_ref = rest[-1]
+        corr_ref = rest[0] if i8_digits else None
         ct = cts_ref[...]                 # (TC, 2, n1, n2, 2, d)
         fwd = (f1, f2, f3, f4)
         inv = (i1, i2, i3, i4)
@@ -201,24 +270,37 @@ def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
         # NTT output needs NO in-kernel relayout — a 5D transpose of the
         # digit tensor was the dominant per-step cost in the previous
         # revision.  The reorder itself touches only the small ct block.
-        rows_sl = []                      # [s][limb] -> (t_gsw*TC*P, d)
+        rows_s = []                       # [s] -> digit rows (see above)
         for s in range(2):
             v = jnp.transpose(ct[:, s], (1, 0, 2, 3, 4)).reshape(
                 n1 * TC * n2, 2, d)
-            rows_sl.append(_signed_digit_rows_2d(v[:, 0, :], v[:, 1, :],
-                                                 t_gsw))
+            if i8_digits:
+                rows_s.append(_signed_digit_rows_i8(v[:, 0, :], v[:, 1, :],
+                                                    t_gsw))
+            else:
+                rows_s.append(_signed_digit_rows_2d(v[:, 0, :], v[:, 1, :],
+                                                    t_gsw))
         outs = []
         for li, tb in ((0, tb_p), (1, tb_b)):
             ctx = mod_ctx(MODS[li])
             acc = None
             for s in range(2):
-                g = _fwd_tiled(tb, d, rows_sl[s][li],
-                               [t[li] for t in fwd])
+                if i8_digits:
+                    g = _fwd_tiled_i8(tb, d, rows_s[s],
+                                      [t[li] for t in fwd])
+                else:
+                    g = _fwd_tiled(tb, d, rows_s[s][li],
+                                   [t[li] for t in fwd])
                 B = g.reshape(m2, TC * L)  # rows k*n1+j, lanes (tc,c,d)
                 q_l = q_ref[s, :, :, li, :]           # (n1, m2, d)
                 p_s = _matmul_limb_2d(q_l, B, ctx)    # (n1, TC*L)
                 acc = p_s if acc is None else ctx.add(acc, p_s)
             t4 = acc.reshape(n1, TC, n2, d)
+            if i8_digits:
+                # undo the digit bias: + bias*NTT(ones) ⊙ Σ_{s,k} q[s,:,k]
+                # (precomputed per round outside the kernel), broadcast
+                # over the (tc, c) output columns
+                t4 = ctx.add(t4, corr_ref[:, li, :][:, None, None, :])
             y = _inv_body(tb, d,
                           jnp.transpose(t4, (1, 0, 2, 3)).reshape(
                               TC * P, d), *[t[li] for t in inv])
@@ -248,9 +330,11 @@ _FOLD_TC = int(os.environ.get("SPIRAL_FOLD_TC", "1"))
 @lru_cache(maxsize=None)
 def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                      interpret: bool):
+    from ..params import get_bits_per
     m2 = t_gsw * n1
     TC = min(_FOLD_TC, m_out)
     kernel = _make_fold_kernel(t_gsw, n1, n2, d, TC)
+    i8 = get_bits_per(t_gsw) <= 7
     fwd, inv = _fold_tables(d)
     tabs = fwd + inv
     table_specs = [
@@ -258,8 +342,13 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                      memory_space=pltpu.VMEM)
         for t in tabs
     ]
+    extra_specs = []
+    if i8:
+        extra_specs.append(pl.BlockSpec((n1, 2, d), lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
 
-    def run(cts_pairs, q_cat):
+    def run(cts_pairs, q_cat, corr=None):
+        extra = [corr] if i8 else []
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((m_out, n1, n2, 2, d),
@@ -272,7 +361,7 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                 pl.BlockSpec((2, n1, m2, 2, d),
                              lambda i: (0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + table_specs,
+            ] + table_specs + extra_specs,
             out_specs=pl.BlockSpec((TC, n1, n2, 2, d),
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -283,9 +372,32 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
                 # forcing tiny tiles (v5e has headroom above the default)
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(cts_pairs, q_cat, *[jnp.asarray(t) for t in tabs])
+        )(cts_pairs, q_cat, *[jnp.asarray(t) for t in tabs], *extra)
 
     return run
+
+
+def _fold_bias_corr(qp_r, qn_r):
+    """Per-round bias correction for the int8 digit path:
+    corr[j, li, z] = FOLD_I8_BIAS * NTT(ones)[li, z] * Σ_{s,k} q_s[j,k,li,z]
+    (mod p_li).  qp_r/qn_r: (n1, m2, 2, d) NTT residues; returns
+    (n1, 2, d) u32.  Runs in XLA outside the kernel (tiny tensors)."""
+    from ..arith.ntt_pallas import _bias_row
+    d = qp_r.shape[-1]
+    outs = []
+    for li, p in enumerate(MODS):
+        ctx = mod_ctx(p)
+        both = jnp.concatenate([qp_r[:, :, li, :], qn_r[:, :, li, :]],
+                               axis=1)             # (n1, 2*m2, d)
+        s = jnp.zeros_like(both[:, 0])
+        for k in range(both.shape[1]):
+            s = s + both[:, k]
+            if k % 14 == 13:                       # 15 * (2^28) < 2^32
+                s = ctx.reduce_u32(s)
+        s = ctx.reduce_u32(s)
+        C = jnp.asarray(_bias_row(p, d, FOLD_I8_BIAS))
+        outs.append(ctx.mul(s, C[None, :]))
+    return jnp.stack(outs, axis=-2)                # (n1, 2, d)
 
 
 def fold_fused_supported(params: Params) -> bool:
@@ -303,17 +415,20 @@ def fold_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
 
     cts_coeff: (m, n1, n2, 2, d) coeff domain, bit-reversed row order
     (round s pairs adjacent rows 2k/2k+1 — see server/fold.py)."""
+    from ..params import get_bits_per
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m = cts_coeff.shape[0]
     total = m.bit_length() - 1
     rounds = total if num_rounds is None else num_rounds
     p = params
+    i8 = get_bits_per(p.t_gsw) <= 7
     for r in range(start_round, start_round + rounds):
         m //= 2
         cts_pairs = cts_coeff.reshape((m, 2) + cts_coeff.shape[1:])
         q_cat = jnp.stack([q_neg[r], q_pos[r]])
         run = _fold_round_call(m, p.t_gsw, p.n1, p.n2, p.poly_len,
                                interpret)
-        cts_coeff = run(cts_pairs, q_cat)
+        corr = _fold_bias_corr(q_pos[r], q_neg[r]) if i8 else None
+        cts_coeff = run(cts_pairs, q_cat, corr)
     return cts_coeff

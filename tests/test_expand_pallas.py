@@ -50,3 +50,13 @@ def test_expand_fused_bit_exact(stopround):
     max_bits = p.t_gsw * p.further_dims if stopround else 0
     ref, fused = _run_both(p, g, stopround, max_bits, seed=3)
     np.testing.assert_array_equal(ref, fused)
+
+
+def test_expand_fused_bit_exact_i8_digits():
+    # production gadget widths: t_exp=8 -> bits_per=8 (int8 digits with
+    # the -128 bias + bias*NTT(ones) correction), t_exp_right=56 ->
+    # bits_per=2 (int8 digits, no bias)
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=2, t_conv=4,
+               t_exp=8, t_exp_right=56)
+    ref, fused = _run_both(p, 3, 1, p.t_gsw * p.further_dims, seed=5)
+    np.testing.assert_array_equal(ref, fused)

@@ -43,6 +43,17 @@ def test_fold_fused_bit_exact():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
 
 
+def test_fold_fused_bit_exact_i8_digits():
+    # t_gsw=9 -> bits_per=7: exercises the signed-int8 digit path (one
+    # digit tensor shared by both CRT limbs, single-limb NTT matmul)
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=9, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 13)
+    ref = fold_rounds(cts, qp, qn, p)
+    fused = fold_rounds_fused(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
 def test_fold_fused_partial_rounds():
     p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=2, t_conv=4,
                t_exp=8, t_exp_right=8)

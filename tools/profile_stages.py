@@ -15,6 +15,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")
+
 
 def timed(fn, *args, reps=5):
     out = fn(*args)
