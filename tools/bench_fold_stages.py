@@ -1,6 +1,7 @@
 """Attribute time inside the fused fold kernel: variants that run only a
 prefix of the stage chain (digits / +fwdNTT / +matmul / full), at the
-round-0 production shape.  Run on TPU."""
+round-0 production shape, using the PRODUCTION int8-digit path
+(t_gsw=9 -> bits_per=7).  Run on TPU."""
 import sys
 import time
 
@@ -14,14 +15,15 @@ sys.path.insert(0, ".")
 
 from spiral_tpu.params import B_I, P_I, preset
 from spiral_tpu.arith.mod import mod_ctx
-from spiral_tpu.arith.ntt_pallas import _fwd_body, _inv_body, _tables
-from spiral_tpu.server.fold_pallas import (_fold_tables, _matmul_limb_2d,
-                                           _signed_digit_rows_2d,
-                                           _fwd_tiled)
+from spiral_tpu.arith.ntt_pallas import _inv_body, _tables
+from spiral_tpu.server.fold_pallas import (_fold_bias_corr, _fold_tables,
+                                           _matmul_limb_2d,
+                                           _signed_digit_rows_i8,
+                                           _fwd_tiled_i8)
 
 p = preset("spiral_20_256")
 d = p.poly_len
-TC = 1
+TC = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 m_out = 64
 t_gsw, n1, n2 = p.t_gsw, p.n1, p.n2
 m2, P, L = t_gsw * n1, n1 * n2, n2 * d
@@ -44,44 +46,44 @@ q_cat = rr((2, n1, m2, d))
 
 
 def make(stage):
-    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, out_ref):
+    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, corr_ref,
+               out_ref):
         fwd = (f1, f2, f3, f4)
         inv = (i1, i2, i3, i4)
-        ct = cts_ref[...].reshape(TC * 2 * P, 2, d)
+        ct = cts_ref[...]
         if stage == "copy":
-            out_ref[...] = cts_ref[...][:, 0]
+            out_ref[...] = ct[:, 0]
             return
-        rp, rb = _signed_digit_rows_2d(ct[:, 0, :], ct[:, 1, :], t_gsw)
+        rows_s = []
+        for s in range(2):
+            v = jnp.transpose(ct[:, s], (1, 0, 2, 3, 4)).reshape(
+                n1 * TC * n2, 2, d)
+            rows_s.append(_signed_digit_rows_i8(v[:, 0, :], v[:, 1, :],
+                                                t_gsw))
         if stage == "digits":
-            o = [jax.lax.slice_in_dim(r, 0, TC * P, axis=0).reshape(
-                TC, n1, n2, d) for r in (rp, rb)]
+            o = [jax.lax.slice_in_dim(r, 0, TC * P, axis=0).astype(
+                jnp.uint32).reshape(TC, n1, n2, d) for r in rows_s]
             out_ref[...] = jnp.stack(o, axis=-2)
             return
         outs = []
-        for li, tb, rows in ((0, tb_p, rp), (1, tb_b, rb)):
+        for li, tb in ((0, tb_p), (1, tb_b)):
             ctx = mod_ctx(MODS[li])
-            g = _fwd_tiled(tb, d, rows, [t[li] for t in fwd])
-            if stage == "ntt":
-                outs.append(jax.lax.slice_in_dim(
-                    g, 0, TC * P, axis=0).reshape(TC, n1, n2, d))
-                continue
-            g5 = g.reshape(t_gsw, TC, 2, n1, L)
-            gt = jnp.transpose(g5, (2, 0, 3, 1, 4))
-            B = gt.reshape(2, m2, TC * L)
-            if stage == "transpose":
-                outs.append(jax.lax.slice_in_dim(
-                    B.reshape(2 * m2, TC, n2, d)[:, :, :, :],
-                    0, n1, axis=0).transpose(1, 0, 2, 3))
-                continue
             acc = None
             for s in range(2):
+                g = _fwd_tiled_i8(tb, d, rows_s[s], [t[li] for t in fwd])
+                if stage == "ntt":
+                    acc = g
+                    break
+                B = g.reshape(m2, TC * L)
                 q_l = q_ref[s, :, :, li, :]
-                qb = jnp.broadcast_to(
-                    q_l[:, :, None, None, :], (n1, m2, TC, n2, d)
-                ).reshape(n1, m2, TC * L)
-                p_s = _matmul_limb_2d(qb, B[s], ctx)
+                p_s = _matmul_limb_2d(q_l, B, ctx)
                 acc = p_s if acc is None else ctx.add(acc, p_s)
+            if stage == "ntt":
+                outs.append(jax.lax.slice_in_dim(
+                    acc, 0, TC * P, axis=0).reshape(TC, n1, n2, d))
+                continue
             t4 = acc.reshape(n1, TC, n2, d)
+            t4 = ctx.add(t4, corr_ref[:, li, :][:, None, None, :])
             if stage == "matmul":
                 outs.append(jnp.transpose(t4, (1, 0, 2, 3)))
                 continue
@@ -99,6 +101,7 @@ def make(stage):
 
     @jax.jit
     def run(cts_pairs, q):
+        corr = _fold_bias_corr(q[1], q[0])
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((m_out, n1, n2, 2, d),
@@ -111,7 +114,10 @@ def make(stage):
                 pl.BlockSpec((2, n1, m2, 2, d),
                              lambda i: (0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + table_specs,
+            ] + table_specs + [
+                pl.BlockSpec((n1, 2, d), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((TC, n1, n2, 2, d),
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -119,7 +125,7 @@ def make(stage):
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=False,
-        )(cts_pairs, q, *[jnp.asarray(t) for t in tabs])
+        )(cts_pairs, q, *[jnp.asarray(t) for t in tabs], corr)
 
     return run
 
