@@ -17,18 +17,24 @@ from ..params import B_I, P_I, Q
 from .mod import mod_ctx
 from .u32 import add_pair_u32, mul32_wide
 
-# Garner constant: p^{-1} mod b
+# Garner constant: p^{-1} mod b (+ Shoup companion for the lane multiply)
 P_INV_MOD_B = pow(P_I, B_I - 2, B_I)
+P_INV_MOD_B_SHOUP = (P_INV_MOD_B << 32) // B_I
 
 
 def lift_pair(x, y):
     """Residues (x mod p, y mod b) -> value mod Q as a u32 pair (hi, lo).
 
     Garner: v = x + p * ((y - x) * p^{-1} mod b), v < Q < 2^56.
+    x is canonical (< p < 2b), so one conditional subtract replaces the
+    generic reduce, and the constant multiply runs Shoup-form — this is
+    the hot prologue of every gadget decomposition (fold/expand kernels).
     """
     mb = mod_ctx(B_I)
-    x_mod_b = mb.reduce_u32(x)
-    t = mb.mul(mb.sub(y, x_mod_b), jnp.uint32(P_INV_MOD_B))
+    bb = jnp.uint32(B_I)
+    x_mod_b = jnp.where(x >= bb, x - bb, x)
+    t = mb.mul_shoup(mb.sub(y, x_mod_b), jnp.uint32(P_INV_MOD_B),
+                     jnp.uint32(P_INV_MOD_B_SHOUP))
     hi, lo = mul32_wide(jnp.uint32(P_I), t)
     return add_pair_u32(hi, lo, x)
 

@@ -188,16 +188,21 @@ def _mul_shoup(y, w, w_shoup, p: int):
     return jnp.where(r >= pp, r - pp, r)
 
 
-def _recombine(o0, o1, o2, o3, tb: _Tables):
-    """sum_i 2^{7i} o_i mod p for int32 limb planes (each < 4K*127^2)."""
-    s01 = (o0 + (o1 << 7)).astype(jnp.uint32)
-    s23 = (o2 + (o3 << 7)).astype(jnp.uint32)
-    r01 = _reduce_u32(s01, tb)
-    r23 = _reduce_u32(s23, tb)
-    r23 = _mul_shoup(r23, jnp.uint32(tb.rw2), jnp.uint32(tb.rw2_shoup), tb.p)
-    s = r01 + r23
-    p = jnp.uint32(tb.p)
-    return jnp.where(s >= p, s - p, s)
+def _recombine(o0, o1, o2, o3, tb: _Tables, off: int = 0):
+    """sum_i 2^{7i} o_i mod p for int32 limb planes.
+
+    Lazy: the 2^14 Shoup multiply runs directly on the unreduced pair-sum
+    (Shoup r = w*y - floor(y*ws/2^32)*p < 2p holds for ANY u32 y when
+    w < p), and only ONE Solinas reduce closes the sum — measured ~35%
+    fewer VPU ops than reduce-reduce-shoup-add.  Bounds: |o_i| < 2^26
+    (uns.: K<=512 products <=127^2; signed i8 path: K<=16*128*127 < 2^18),
+    so with `off` (a multiple of p shifting signed planes positive, 0 for
+    unsigned) each pair-sum < 2^31 and the final sum < 2^31 + 2p < 2^32."""
+    y23 = (o2 + (o3 << 7) + jnp.int32(off)).astype(jnp.uint32)
+    r23 = _mul_shoup(y23, jnp.uint32(tb.rw2), jnp.uint32(tb.rw2_shoup),
+                     tb.p)
+    s = (o0 + (o1 << 7) + jnp.int32(off)).astype(jnp.uint32) + r23
+    return _reduce_u32(s, tb)
 
 
 def _limb_planes(v):
@@ -207,18 +212,10 @@ def _limb_planes(v):
 
 def _recombine_signed(o0, o1, o2, o3, tb: _Tables):
     """_recombine for SIGNED int32 limb planes (|o_i| < 2^18, from an
-    int8 single-limb matmul): shift each pair-sum into u32 range with a
-    multiple of p (p itself: 2^28-ish >> 2^25 bound) before the Solinas
-    reduce — the shift is ≡ 0 mod p, so the result is exact."""
-    off = jnp.int32(tb.p)
-    s01 = (o0 + (o1 << 7) + off).astype(jnp.uint32)
-    s23 = (o2 + (o3 << 7) + off).astype(jnp.uint32)
-    r01 = _reduce_u32(s01, tb)
-    r23 = _reduce_u32(s23, tb)
-    r23 = _mul_shoup(r23, jnp.uint32(tb.rw2), jnp.uint32(tb.rw2_shoup), tb.p)
-    s = r01 + r23
-    p = jnp.uint32(tb.p)
-    return jnp.where(s >= p, s - p, s)
+    int8 single-limb matmul): the p offset (== 0 mod p, far above the
+    2^25 pair-sum bound) shifts each pair-sum into u32 range (ADVICE r4:
+    one recombination body, signed = offset p, unsigned = offset 0)."""
+    return _recombine(o0, o1, o2, o3, tb, off=tb.p)
 
 
 @lru_cache(maxsize=None)

@@ -66,22 +66,27 @@ def fold_rounds(cts_coeff: jnp.ndarray, q_pos: jnp.ndarray,
     (nu_2 - 1 - s) of the further index.
     Returns the (m / 2^num_rounds, n1, n2, 2, d) survivors.
 
-    Dispatch (SPIRAL_FOLD): "fused" forces the Pallas mega-kernel
-    (server/fold_pallas.py — digits never touch HBM), "xla" forces the
-    unfused chain below; default is fused on TPU when the Pallas NTT
-    engine is active, unfused elsewhere.  fused=False pins the unfused
-    chain regardless (callers that vmap this function)."""
+    Dispatch (SPIRAL_FOLD): "fused" (default on TPU under the Pallas NTT
+    engine) runs the all-in-VMEM mega-kernel; "mxu" runs the
+    digits+NTT Pallas kernel with the external-product contraction as a
+    batched int8 MXU GEMM (ablation: the GEMM itself is ~50x faster than
+    the VPU MACs but the mandatory slot-major relayout of the digit-NTT
+    tensor costs more than the contraction saves — measured r5,
+    tools/bench_fold2.py: 34 ms vs 10.9 fused); "xla" forces the unfused
+    chain below.  fused=False pins the unfused chain regardless (callers
+    that vmap this function)."""
     import os
     import jax
     mode = os.environ.get("SPIRAL_FOLD", "")
     if mode != "xla" and fused is not False:
-        from .fold_pallas import fold_fused_supported, fold_rounds_fused
+        from .fold_pallas import (fold_fused_supported, fold_rounds_fused,
+                                  fold_rounds_mxu)
         if fold_fused_supported(params) and (
-                fused or mode == "fused" or
+                fused or mode in ("fused", "mxu") or
                 jax.default_backend() == "tpu"):
-            return fold_rounds_fused(cts_coeff, q_pos, q_neg, params,
-                                     start_round=start_round,
-                                     num_rounds=num_rounds)
+            impl = fold_rounds_mxu if mode == "mxu" else fold_rounds_fused
+            return impl(cts_coeff, q_pos, q_neg, params,
+                        start_round=start_round, num_rounds=num_rounds)
     eng = crt_ntt(params.poly_len)
     m = cts_coeff.shape[0]
     total = m.bit_length() - 1

@@ -60,6 +60,12 @@ def _matmul_limb_2d(A, B, ctx):
     chunk = 16
     A0, A1 = A & jnp.uint32(0x3FFF), A >> 14
     B0, B1 = B & jnp.uint32(0x3FFF), B >> 14
+    p = ctx.p
+    w14, w28 = (1 << 14) % p, (1 << 28) % p
+    ws14 = jnp.uint32((w14 << 32) // p)
+    ws28 = jnp.uint32((w28 << 32) // p)
+    w14 = jnp.uint32(w14)
+    w28 = jnp.uint32(w28)
 
     def term_rep(X, k):
         t = jax.lax.slice_in_dim(X, k, k + 1, axis=1)   # (R, 1, dA)
@@ -68,7 +74,8 @@ def _matmul_limb_2d(A, B, ctx):
         return t.reshape(R, L)
 
     acc = None
-    for start in range(0, M, chunk):
+    n_lazy = 0
+    for ci, start in enumerate(range(0, M, chunk)):
         end = min(start + chunk, M)
         # Sequential multiply-accumulate over the contraction terms: a
         # vectorized jnp.sum over a (R, chunk, L) product tensor reduces
@@ -86,16 +93,22 @@ def _matmul_limb_2d(A, B, ctx):
             else:
                 c00, c01 = c00 + a0 * b0, c01 + a0 * b1
                 c10, c11 = c10 + a1 * b0, c11 + a1 * b1
-        p00 = ctx.reduce_u32(c00)
-        p01 = ctx.reduce_u32(c01)
-        p10 = ctx.reduce_u32(c10)
-        p11 = ctx.reduce_u32(c11)
-        mid = ctx.add(p01, p10)
-        mid_r = ctx.reduce_pair(mid >> 18, mid << 14)
-        hi_r = ctx.reduce_pair(p11 >> 4, p11 << 28)
-        term = ctx.add(ctx.add(p00, mid_r), hi_r)
-        acc = term if acc is None else ctx.add(acc, term)
-    return acc
+        # Lazy chunk recombination: Shoup-multiply the UNREDUCED c01/c10/
+        # c11 accumulators (Shoup r = w*y - floor(y*ws/2^32)*p < 2p holds
+        # for any u32 y, then one subtract -> < p), reduce only c00, and
+        # defer the final reduction of the <4p chunk sums: up to 7 chunk
+        # sums (28p < 2^32) accumulate before a Solinas fold closes them.
+        term = (ctx.reduce_u32(c00) +
+                ctx.mul_shoup(c01, w14, ws14) +
+                ctx.mul_shoup(c10, w14, ws14) +
+                ctx.mul_shoup(c11, w28, ws28))        # < 4p
+        if acc is None:
+            acc, n_lazy = term, 4
+        elif n_lazy + 4 <= 15:
+            acc, n_lazy = acc + term, n_lazy + 4
+        else:
+            acc, n_lazy = ctx.reduce_u32(acc) + term, 5
+    return ctx.reduce_u32(acc)
 
 
 def _matmul_pair(a, b):
@@ -135,6 +148,7 @@ def _signed_digit_rows_2d(x_p, x_b, num_elems: int):
     from ..arith.u32 import shr_pair
 
     bits_per = get_bits_per(num_elems)
+    assert num_elems * bits_per < 64, (num_elems, bits_per)
     z = 1 << bits_per
     half_z = jnp.uint32(z // 2)
     hi, lo = lift_pair(x_p, x_b)
@@ -216,6 +230,7 @@ def _signed_digit_rows_i8(x_p, x_b, num_elems: int):
 
     bits_per = get_bits_per(num_elems)
     assert bits_per <= 7, bits_per
+    assert num_elems * bits_per < 64, (num_elems, bits_per)
     z = 1 << bits_per
     half_z = jnp.uint32(z // 2)
     hi, lo = lift_pair(x_p, x_b)
@@ -431,4 +446,184 @@ def fold_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
                                interpret)
         corr = _fold_bias_corr(q_pos[r], q_neg[r]) if i8 else None
         cts_coeff = run(cts_pairs, q_cat, corr)
+    return cts_coeff
+
+
+# ---------------------------------------------------------------------------
+# MXU fold path: digits + forward NTT stay fused in a Pallas kernel, the
+# external-product contraction runs as ONE batched int8 MXU GEMM in XLA
+# over all NTT slots, with the (round-constant) query operand prescaled
+# into (out-limb i, in-limb j) int8 planes — the same prescaled-limb trick
+# the NTT tables use (arith/ntt_pallas._prescaled_imajor), applied to a
+# per-slot-varying matrix by batching the GEMM over (crt limb, slot).
+# Measured on v5e at the spiral_20_256 round-0 shape: the whole-round
+# contraction drops from ~2.6 ms of in-kernel VPU MACs (_matmul_limb_2d)
+# to ~50 us of MXU time (tools/bench_slotmm.py).
+# Ref counterpart: src/spiral.cpp:464-582 cpu_mul_query_by_ct +
+# 1349-1410 foldOneFurtherDimension.
+
+def _make_fold_ntt_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
+    """Digits + forward NTT of TC adjacent ct pairs; the NTT-domain digit
+    tensor is written to HBM once (layout (li, s, k, tc, (jn1, c), d))
+    for the XLA-side batched MXU contraction.  Rows feed the NTT in the
+    natural (tc, jn1, c) input order — no in-kernel ct transpose."""
+    from ..params import get_bits_per
+    tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
+    P = n1 * n2
+    i8_digits = get_bits_per(t_gsw) <= 7
+
+    def kernel(cts_ref, f1, f2, f3, f4, out_ref):
+        ct = cts_ref[...]                 # (TC, 2, n1, n2, 2, d)
+        fwd = (f1, f2, f3, f4)
+        for s in range(2):
+            v = ct[:, s].reshape(TC * P, 2, d)    # rows (tc, jn1, c)
+            if i8_digits:
+                rows8 = _signed_digit_rows_i8(v[:, 0, :], v[:, 1, :],
+                                              t_gsw)
+                for li, tb in ((0, tb_p), (1, tb_b)):
+                    g = _fwd_tiled_i8(tb, d, rows8, [t[li] for t in fwd])
+                    out_ref[li, s] = g.reshape(t_gsw, TC, P, d)
+            else:
+                rows = _signed_digit_rows_2d(v[:, 0, :], v[:, 1, :],
+                                             t_gsw)
+                for li, tb in ((0, tb_p), (1, tb_b)):
+                    g = _fwd_tiled(tb, d, rows[li], [t[li] for t in fwd])
+                    out_ref[li, s] = g.reshape(t_gsw, TC, P, d)
+
+    return kernel
+
+
+_FOLD_MXU_TC = int(os.environ.get("SPIRAL_FOLD_MXU_TC", "4"))
+
+
+@lru_cache(maxsize=None)
+def _fold_ntt_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
+                   interpret: bool):
+    P = n1 * n2
+    TC = min(_FOLD_MXU_TC, m_out)
+    kernel = _make_fold_ntt_kernel(t_gsw, n1, n2, d, TC)
+    fwd, _ = _fold_tables(d)
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for t in fwd
+    ]
+
+    def run(cts_pairs):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (2, 2, t_gsw, m_out, P, d), jnp.uint32),
+            grid=(m_out // TC,),
+            in_specs=[
+                pl.BlockSpec((TC, 2, n1, n2, 2, d),
+                             lambda i: (i, 0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + table_specs,
+            out_specs=pl.BlockSpec((2, 2, t_gsw, TC, P, d),
+                                   lambda i: (0, 0, 0, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(cts_pairs, *[jnp.asarray(t) for t in fwd])
+
+    return run
+
+
+def _fold_qpre(q_cat, t_gsw: int, n1: int):
+    """Prescale the round's query tensors for the batched MXU GEMM.
+
+    q_cat: (2s, n1r, m2, 2, d) NTT-domain u32 ->
+    (2li, 2s, t_gsw, n1jn1, 4j, 4i*n1r, d) int8 with entry
+    [li, s, k, jn1, j, i*n1+r, z] = limb_i((2^{7j} * q_s[r, (k,jn1), z])
+    mod p_li).  i is M-major so the recombination slices whole blocks
+    (mirrors arith/ntt_pallas._prescaled_imajor)."""
+    d = q_cat.shape[-1]
+    outs = []
+    for li, p in enumerate(MODS):
+        ctx = mod_ctx(p)
+        q = q_cat[..., li, :].reshape(2, n1, t_gsw, n1, d)  # (s,r,k,jn1,d)
+        js = []
+        for j in range(4):
+            w = (1 << (7 * j)) % p
+            qj = q if j == 0 else ctx.mul_shoup(
+                q, jnp.uint32(w), jnp.uint32((w << 32) // p))
+            iplanes = [((qj >> jnp.uint32(7 * i)) & jnp.uint32(0x7F)
+                        ).astype(jnp.int8) for i in range(4)]
+            js.append(jnp.stack(iplanes, axis=0))     # (4i, s, r, k, jn1, d)
+        qp = jnp.stack(js, axis=0)                    # (4j, 4i, s, r, k, jn1, d)
+        qp = qp.transpose(2, 4, 5, 0, 1, 3, 6)        # (s, k, jn1, j, i, r, d)
+        outs.append(qp.reshape(2, t_gsw, n1, 4, 4 * n1, d))
+    return jnp.stack(outs)                            # (2, s, k, jn1, j, 12, d)
+
+
+def _fold_contract_mxu(G6, Qpre, corr, t_gsw: int, n1: int, n2: int):
+    """Batched per-slot modular matmul + i-limb recombination.
+
+    G6: (2li, 2s, t_gsw, m_out, n1*n2, d) u32 NTT digits;
+    Qpre: output of _fold_qpre; corr: (n1, 2, d) bias undo or None.
+    Returns (m_out, n1, n2, 2, d) u32 NTT-domain sums."""
+    m_out, d = G6.shape[3], G6.shape[-1]
+    G7 = G6.reshape(2, 2, t_gsw, m_out, n1, n2, d)
+    # ONE relayout to batch-major (the GEMM batch dims (li, z) must be
+    # major or XLA inserts far worse transposes around the dot), with the
+    # j-limb split fused into the same pass
+    Gt = G7.transpose(0, 6, 1, 2, 4, 3, 5)    # (li, d, s, k, jn1, mo, c)
+    planes = [((Gt >> jnp.uint32(7 * j)) & jnp.uint32(0x7F)
+               ).astype(jnp.int8) for j in range(4)]
+    Gl = jnp.stack(planes, axis=5)       # (li, d, s, k, jn1, j, mo, c)
+    Qt = Qpre.transpose(0, 6, 1, 2, 3, 4, 5)  # (li, d, s, k, jn1, j, 12)
+    # contraction over (s, k, jn1, j): 2*t_gsw*n1*4 <= 2688 int8 terms,
+    # products <= 127^2 -> int32-exact
+    out = jax.lax.dot_general(
+        Qt, Gl,
+        dimension_numbers=(((2, 3, 4, 5), (2, 3, 4, 5)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)   # (li, d, 12, mo, c)
+    res = []
+    for li, p in enumerate(MODS):
+        ctx = mod_ctx(p)
+        o = out[li]                          # (d, 12, mo, c) i-major
+        o0, o1, o2, o3 = (o[:, i * n1:(i + 1) * n1] for i in range(4))
+        r01 = ctx.reduce_u32((o0 + (o1 << 7)).astype(jnp.uint32))
+        r23 = ctx.reduce_u32((o2 + (o3 << 7)).astype(jnp.uint32))
+        w = (1 << 14) % p
+        r23 = ctx.mul_shoup(r23, jnp.uint32(w), jnp.uint32((w << 32) // p))
+        v = ctx.add(r01, r23)                # (d, n1, mo, c)
+        if corr is not None:
+            c = jnp.swapaxes(corr[:, li, :], 0, 1)[:, :, None, None]
+            v = ctx.add(v, jnp.broadcast_to(c, v.shape))
+        res.append(v)
+    v = jnp.stack(res)                       # (2, d, n1, mo, c)
+    return v.transpose(3, 2, 4, 0, 1)        # (mo, n1, c, 2, d)
+
+
+def fold_rounds_mxu(cts_coeff, q_pos, q_neg, params: Params,
+                    start_round: int = 0, num_rounds: int | None = None,
+                    interpret: bool | None = None):
+    """fold.fold_rounds via the MXU contraction path (same signature and
+    bit-identical output as fold_rounds_fused)."""
+    from ..params import get_bits_per
+    from ..arith.ntt_pallas import crt_ntt_pallas
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # the digit NTT runs with the Pallas bodies, so the closing inverse
+    # must be the Pallas engine (slot orders differ between engines)
+    eng = crt_ntt_pallas(params.poly_len)
+    m = cts_coeff.shape[0]
+    total = m.bit_length() - 1
+    rounds = total if num_rounds is None else num_rounds
+    p = params
+    i8 = get_bits_per(p.t_gsw) <= 7
+    for r in range(start_round, start_round + rounds):
+        m //= 2
+        cts_pairs = cts_coeff.reshape((m, 2) + cts_coeff.shape[1:])
+        q_cat = jnp.stack([q_neg[r], q_pos[r]])
+        G6 = _fold_ntt_call(m, p.t_gsw, p.n1, p.n2, p.poly_len,
+                            interpret)(cts_pairs)
+        Qpre = _fold_qpre(q_cat, p.t_gsw, p.n1)
+        corr = _fold_bias_corr(q_pos[r], q_neg[r]) if i8 else None
+        v = _fold_contract_mxu(G6, Qpre, corr, p.t_gsw, p.n1, p.n2)
+        cts_coeff = eng.inverse(v)
     return cts_coeff

@@ -13,7 +13,7 @@ from spiral_tpu.params import B_I, P_I, Params
 from spiral_tpu.arith.ntt import crt_ntt
 from spiral_tpu.arith.ntt_pallas import crt_ntt_pallas
 from spiral_tpu.server.fold import fold_rounds
-from spiral_tpu.server.fold_pallas import fold_rounds_fused
+from spiral_tpu.server.fold_pallas import fold_rounds_fused, fold_rounds_mxu
 
 
 def _rand_residues(rng, shape):
@@ -52,6 +52,38 @@ def test_fold_fused_bit_exact_i8_digits():
     ref = fold_rounds(cts, qp, qn, p)
     fused = fold_rounds_fused(cts, qp_p, qn_p, p, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
+def test_fold_mxu_bit_exact():
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=3, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 7)
+    ref = fold_rounds(cts, qp, qn, p)
+    mxu = fold_rounds_mxu(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mxu))
+
+
+def test_fold_mxu_bit_exact_i8_digits():
+    # production widths: t_gsw=9 -> bits_per=7 signed-int8 digit path
+    p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=9, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 13)
+    ref = fold_rounds(cts, qp, qn, p)
+    mxu = fold_rounds_mxu(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mxu))
+
+
+def test_fold_mxu_partial_rounds():
+    p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=2, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    cts, qp, qn, qp_p, qn_p = _setup(p, 11)
+    ref = fold_rounds(cts, qp, qn, p, 0, 2)
+    mxu = fold_rounds_mxu(cts, qp_p, qn_p, p, 0, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mxu))
+    ref2 = fold_rounds(ref, qp, qn, p, start_round=2)
+    mxu2 = fold_rounds_mxu(mxu, qp_p, qn_p, p, start_round=2,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref2), np.asarray(mxu2))
 
 
 def test_fold_fused_partial_rounds():

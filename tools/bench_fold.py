@@ -22,9 +22,14 @@ def rr(shape):
 
 
 m = p.num_per
-cts = rr((m, p.n1, p.n2, d))
-qp = rr((p.nu_2, p.n1, p.m2, d))
-qn = rr((p.nu_2, p.n1, p.m2, d))
+# route through a jit so the buffers are device-resident program outputs
+# (plain jnp.asarray(host) arrays can re-ship through the dev tunnel on
+# every dispatch — tools/bench_pallas_overhead.py findings)
+_dev = jax.jit(lambda x: x + 0)
+cts = _dev(rr((m, p.n1, p.n2, d)))
+qp = _dev(rr((p.nu_2, p.n1, p.m2, d)))
+qn = _dev(rr((p.nu_2, p.n1, p.m2, d)))
+jax.block_until_ready((cts, qp, qn))
 
 
 def timeit(name, fn, n=20):
@@ -43,15 +48,19 @@ def timeit(name, fn, n=20):
 
 
 from spiral_tpu.server.fold import fold_rounds
-from spiral_tpu.server.fold_pallas import fold_rounds_fused
+from spiral_tpu.server.fold_pallas import fold_rounds_fused, fold_rounds_mxu
 
 xla = jax.jit(lambda c, a, b: fold_rounds(c, a, b, p, fused=False))
 fused = jax.jit(lambda c, a, b: fold_rounds_fused(c, a, b, p))
+mxu = jax.jit(lambda c, a, b: fold_rounds_mxu(c, a, b, p))
 timeit("fold xla   ", lambda: xla(cts, qp, qn))
 timeit("fold fused ", lambda: fused(cts, qp, qn))
+timeit("fold mxu   ", lambda: mxu(cts, qp, qn))
 
 # single round (the big one): m=128 -> 64
 one_x = jax.jit(lambda c, a, b: fold_rounds(c, a, b, p, 0, 1, fused=False))
 one_f = jax.jit(lambda c, a, b: fold_rounds_fused(c, a, b, p, 0, 1))
+one_m = jax.jit(lambda c, a, b: fold_rounds_mxu(c, a, b, p, 0, 1))
 timeit("round0 xla  ", lambda: one_x(cts, qp, qn))
 timeit("round0 fused", lambda: one_f(cts, qp, qn))
+timeit("round0 mxu  ", lambda: one_m(cts, qp, qn))
