@@ -224,7 +224,24 @@ def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
     """cts_coeff: (T, m, 2, 1, 2, d) coeff, rows in bit-reversed
     further-index order (adjacent pairing — see server/fold.py).
     q_pos/q_neg: (nu2, 2, 2*ell, 2, d) NTT.  Unsigned gadget decomposition
-    (ref: testing.cpp:596-624).  Returns the (T, m/2^rounds, ...) survivors."""
+    (ref: testing.cpp:596-624).  Returns the (T, m/2^rounds, ...) survivors.
+
+    On TPU under the Pallas NTT engine this dispatches to the fused
+    fold mega-kernel with the trial axis folded into the grid
+    (server/fold_pallas.fold_pack_rounds_fused, bit-exact — tests);
+    SPIRAL_FOLD=xla forces the unfused chain below."""
+    import os
+    import jax
+    mode = os.environ.get("SPIRAL_FOLD", "")
+    if mode != "xla":
+        from .server.fold_pallas import (fold_fused_supported,
+                                         fold_pack_rounds_fused)
+        if fold_fused_supported(params) and (
+                mode in ("fused", "mxu") or
+                jax.default_backend() == "tpu"):
+            return fold_pack_rounds_fused(cts_coeff, q_pos, q_neg, params,
+                                          start_round=start_round,
+                                          num_rounds=num_rounds)
     eng = crt_ntt(params.poly_len)
     ell = params.t_gsw
     m = cts_coeff.shape[1]

@@ -258,12 +258,33 @@ def _signed_digit_rows_i8(x_p, x_b, num_elems: int):
     return jnp.concatenate(rows, axis=0)
 
 
-def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
+def _fold_digit_mode(num_elems: int, signed: bool) -> tuple[str, int]:
+    """(digit kind, int8 bias) for a fold-kernel instantiation.
+
+    signed: the Spiral GSW external product (split_and_crt digits).
+    unsigned: the Pack fold's plain base-z digits (ref:
+    src/testing.cpp:596-624 uses gadget_invert, not split_and_crt)."""
+    from ..params import get_bits_per
+    bits = get_bits_per(num_elems)
+    if signed:
+        return ("i8s", FOLD_I8_BIAS) if bits <= 7 else ("2ds", 0)
+    if bits <= 7:
+        return "i8u", 0          # unsigned 7-bit digits are int8 as-is
+    if bits == 8:
+        return "i8u", 128        # recentre 8-bit digits (bias undo after)
+    return "2du", 0
+
+
+def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int,
+                      signed: bool = True):
     """One grid step folds TC adjacent ct PAIRS (both mux sources) into
     TC output cts.  Fewer, larger steps amortize the per-step serial
     latency (a 1-pair-1-source step measured ~180 us fixed cost on v5e,
-    swamping its ~15 us of arithmetic)."""
-    from ..params import get_bits_per
+    swamping its ~15 us of arithmetic).
+
+    signed=False instantiates the Pack-fold variant: n1=2/n2=1 cts,
+    UNSIGNED gadget digits (per-row width t_gsw), same external-product
+    structure."""
     tb_p, tb_b = _tables(P_I, d), _tables(B_I, d)
     m2 = t_gsw * n1
     P = n1 * n2
@@ -271,11 +292,26 @@ def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
     # bits_per <= 7 (production t_gsw >= 9): signed digits fit int8, so
     # ONE digit tensor serves both CRT limbs and the forward NTT's first
     # matmul contracts a single signed limb instead of four 7-bit planes
-    i8_digits = get_bits_per(t_gsw) <= 7
+    kind, bias = _fold_digit_mode(t_gsw, signed)
+    i8_digits = kind in ("i8s", "i8u")
+    has_corr = bias > 0
+
+    def digit_rows(v):
+        """(P', 2, d) residue rows -> digit rows for one mux source."""
+        if kind == "i8s":
+            return _signed_digit_rows_i8(v[:, 0, :], v[:, 1, :], t_gsw)
+        if kind == "i8u":
+            from .expand_pallas import _unsigned_digit_rows_i8
+            return _unsigned_digit_rows_i8(v[:, 0, :], v[:, 1, :], t_gsw,
+                                           bias)
+        if kind == "2ds":
+            return _signed_digit_rows_2d(v[:, 0, :], v[:, 1, :], t_gsw)
+        from .expand_pallas import _unsigned_digit_rows_2d
+        return _unsigned_digit_rows_2d(v[:, 0, :], v[:, 1, :], t_gsw)
 
     def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, *rest):
         out_ref = rest[-1]
-        corr_ref = rest[0] if i8_digits else None
+        corr_ref = rest[0] if has_corr else None
         ct = cts_ref[...]                 # (TC, 2, n1, n2, 2, d)
         fwd = (f1, f2, f3, f4)
         inv = (i1, i2, i3, i4)
@@ -289,12 +325,7 @@ def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
         for s in range(2):
             v = jnp.transpose(ct[:, s], (1, 0, 2, 3, 4)).reshape(
                 n1 * TC * n2, 2, d)
-            if i8_digits:
-                rows_s.append(_signed_digit_rows_i8(v[:, 0, :], v[:, 1, :],
-                                                    t_gsw))
-            else:
-                rows_s.append(_signed_digit_rows_2d(v[:, 0, :], v[:, 1, :],
-                                                    t_gsw))
+            rows_s.append(digit_rows(v))
         outs = []
         for li, tb in ((0, tb_p), (1, tb_b)):
             ctx = mod_ctx(MODS[li])
@@ -311,7 +342,7 @@ def _make_fold_kernel(t_gsw: int, n1: int, n2: int, d: int, TC: int):
                 p_s = _matmul_limb_2d(q_l, B, ctx)    # (n1, TC*L)
                 acc = p_s if acc is None else ctx.add(acc, p_s)
             t4 = acc.reshape(n1, TC, n2, d)
-            if i8_digits:
+            if has_corr:
                 # undo the digit bias: + bias*NTT(ones) ⊙ Σ_{s,k} q[s,:,k]
                 # (precomputed per round outside the kernel), broadcast
                 # over the (tc, c) output columns
@@ -344,12 +375,13 @@ _FOLD_TC = int(os.environ.get("SPIRAL_FOLD_TC", "1"))
 
 @lru_cache(maxsize=None)
 def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
-                     interpret: bool):
-    from ..params import get_bits_per
+                     interpret: bool, signed: bool = True,
+                     tc: int | None = None):
     m2 = t_gsw * n1
-    TC = min(_FOLD_TC, m_out)
-    kernel = _make_fold_kernel(t_gsw, n1, n2, d, TC)
-    i8 = get_bits_per(t_gsw) <= 7
+    TC = min(_FOLD_TC if tc is None else tc, m_out)
+    kernel = _make_fold_kernel(t_gsw, n1, n2, d, TC, signed)
+    _, bias = _fold_digit_mode(t_gsw, signed)
+    has_corr = bias > 0
     fwd, inv = _fold_tables(d)
     tabs = fwd + inv
     table_specs = [
@@ -358,12 +390,12 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
         for t in tabs
     ]
     extra_specs = []
-    if i8:
+    if has_corr:
         extra_specs.append(pl.BlockSpec((n1, 2, d), lambda i: (0, 0, 0),
                                         memory_space=pltpu.VMEM))
 
     def run(cts_pairs, q_cat, corr=None):
-        extra = [corr] if i8 else []
+        extra = [corr] if has_corr else []
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((m_out, n1, n2, 2, d),
@@ -392,9 +424,9 @@ def _fold_round_call(m_out: int, t_gsw: int, n1: int, n2: int, d: int,
     return run
 
 
-def _fold_bias_corr(qp_r, qn_r):
-    """Per-round bias correction for the int8 digit path:
-    corr[j, li, z] = FOLD_I8_BIAS * NTT(ones)[li, z] * Σ_{s,k} q_s[j,k,li,z]
+def _fold_bias_corr(qp_r, qn_r, bias: int = FOLD_I8_BIAS):
+    """Per-round bias correction for the int8 digit paths:
+    corr[j, li, z] = bias * NTT(ones)[li, z] * Σ_{s,k} q_s[j,k,li,z]
     (mod p_li).  qp_r/qn_r: (n1, m2, 2, d) NTT residues; returns
     (n1, 2, d) u32.  Runs in XLA outside the kernel (tiny tensors)."""
     from ..arith.ntt_pallas import _bias_row
@@ -410,7 +442,7 @@ def _fold_bias_corr(qp_r, qn_r):
             if k % 14 == 13:                       # 15 * (2^28) < 2^32
                 s = ctx.reduce_u32(s)
         s = ctx.reduce_u32(s)
-        C = jnp.asarray(_bias_row(p, d, FOLD_I8_BIAS))
+        C = jnp.asarray(_bias_row(p, d, bias))
         outs.append(ctx.mul(s, C[None, :]))
     return jnp.stack(outs, axis=-2)                # (n1, 2, d)
 
@@ -446,6 +478,40 @@ def fold_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
                                interpret)
         corr = _fold_bias_corr(q_pos[r], q_neg[r]) if i8 else None
         cts_coeff = run(cts_pairs, q_cat, corr)
+    return cts_coeff
+
+
+_PACK_FOLD_TC = int(os.environ.get("SPIRAL_PACK_FOLD_TC", "8"))
+
+
+def fold_pack_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
+                           start_round: int = 0,
+                           num_rounds: int | None = None,
+                           interpret: bool | None = None):
+    """Fused-kernel pack fold (pack.fold_pack_rounds semantics,
+    bit-identical output): the trial axis folds into the kernel grid —
+    every trial's pairs fold in the same pallas_call.
+
+    cts_coeff: (T, m, 2, 1, 2, d) coeff, bit-reversed row order;
+    q_pos/q_neg: (nu2, 2, 2*t_gsw, 2, d) NTT (UNSIGNED gadget — ref:
+    src/testing.cpp:596-624)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = params
+    T, m = cts_coeff.shape[0], cts_coeff.shape[1]
+    total = m.bit_length() - 1
+    rounds = total if num_rounds is None else num_rounds
+    _, bias = _fold_digit_mode(p.t_gsw, signed=False)
+    for r in range(start_round, start_round + rounds):
+        m //= 2
+        cts_pairs = cts_coeff.reshape(T * m, 2, 2, 1, 2, cts_coeff.shape[-1])
+        q_cat = jnp.stack([q_neg[r], q_pos[r]])
+        run = _fold_round_call(T * m, p.t_gsw, 2, 1, p.poly_len,
+                               interpret, signed=False, tc=_PACK_FOLD_TC)
+        corr = (_fold_bias_corr(q_pos[r], q_neg[r], bias)
+                if bias else None)
+        out = run(cts_pairs, q_cat, corr)
+        cts_coeff = out.reshape(T, m, 2, 1, 2, cts_coeff.shape[-1])
     return cts_coeff
 
 

@@ -86,6 +86,42 @@ def test_fold_mxu_partial_rounds():
     np.testing.assert_array_equal(np.asarray(ref2), np.asarray(mxu2))
 
 
+def _setup_pack(p, seed, T):
+    rng = np.random.default_rng(seed)
+    m = 1 << p.nu_2
+    d = p.poly_len
+    cts = _rand_residues(rng, (T, m, 2, 1, d))
+    qp_c = _rand_residues(rng, (p.nu_2, 2, 2 * p.t_gsw, d))
+    qn_c = _rand_residues(rng, (p.nu_2, 2, 2 * p.t_gsw, d))
+    eng, pe = crt_ntt(d), crt_ntt_pallas(d)
+    return (cts, eng.forward(qp_c), eng.forward(qn_c),
+            pe.forward(qp_c), pe.forward(qn_c))
+
+
+def test_fold_pack_fused_bit_exact():
+    # t_gsw=9 -> unsigned 7-bit digits (plain int8, no bias)
+    from spiral_tpu.pack import fold_pack_rounds
+    from spiral_tpu.server.fold_pallas import fold_pack_rounds_fused
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=9, t_conv=4,
+               t_exp=8, t_exp_right=8, out_n=2)
+    cts, qp, qn, qp_p, qn_p = _setup_pack(p, 23, T=4)
+    ref = fold_pack_rounds(cts, qp, qn, p)
+    fused = fold_pack_rounds_fused(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
+def test_fold_pack_fused_bit_exact_bias8():
+    # t_gsw=7 -> unsigned 8-bit digits (int8 with bias-128 recentring)
+    from spiral_tpu.pack import fold_pack_rounds
+    from spiral_tpu.server.fold_pallas import fold_pack_rounds_fused
+    p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=7, t_conv=4,
+               t_exp=8, t_exp_right=8, out_n=2)
+    cts, qp, qn, qp_p, qn_p = _setup_pack(p, 29, T=4)
+    ref = fold_pack_rounds(cts, qp, qn, p)
+    fused = fold_pack_rounds_fused(cts, qp_p, qn_p, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
 def test_fold_fused_partial_rounds():
     p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=2, t_conv=4,
                t_exp=8, t_exp_right=8)
