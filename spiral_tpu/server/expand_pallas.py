@@ -255,6 +255,29 @@ def _ks_tile(m: int) -> int:
     return t if t < 8 else (t // 8) * 8
 
 
+def w_bias_corr(W, m: int, bias: int):
+    """corr[b, li, z] = bias * NTT(ones)[li, z] * Σ_k W[b, k, li, z]
+    (mod p_li) — the matmul-level bias undo, computed in XLA from the
+    (tiny) key-switch matrix.  Callers compute it once per (round, W)
+    and pass it into the kernel call (ADVICE r4: don't re-derive it per
+    run() invocation)."""
+    from ..arith.mod import mod_ctx as _mc
+    from ..arith.ntt_pallas import _bias_row
+    d = W.shape[-1]
+    outs = []
+    for li, p in enumerate((P_I, B_I)):
+        ctx = _mc(p)
+        s = jnp.zeros_like(W[:, 0, li, :])
+        for k in range(m):
+            s = s + W[:, k, li, :]
+            if k % 14 == 13:                       # 15 * 2^28 < 2^32
+                s = ctx.reduce_u32(s)
+        s = ctx.reduce_u32(s)
+        C = jnp.asarray(_bias_row(p, d, bias))
+        outs.append(ctx.mul(s, C[None, :]))
+    return jnp.stack(outs, axis=-2)                # (base, 2, d)
+
+
 @lru_cache(maxsize=None)
 def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
     T = min(_ks_tile(m), N)
@@ -267,39 +290,22 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
         extra_specs.append(pl.BlockSpec((base, 2, d), lambda i: (0, 0, 0),
                                         memory_space=pltpu.VMEM))
 
-    def w_bias_corr(W):
-        """corr[b, li, z] = bias * NTT(ones)[li, z] * Σ_k W[b, k, li, z]
-        (mod p_li) — the matmul-level bias undo, computed in XLA from
-        the (tiny) key-switch matrix."""
-        from ..arith.mod import mod_ctx as _mc
-        from ..arith.ntt_pallas import _bias_row
-        outs = []
-        for li, p in enumerate((P_I, B_I)):
-            ctx = _mc(p)
-            s = jnp.zeros_like(W[:, 0, li, :])
-            for k in range(m):
-                s = s + W[:, k, li, :]
-                if k % 14 == 13:                   # 15 * 2^28 < 2^32
-                    s = ctx.reduce_u32(s)
-            s = ctx.reduce_u32(s)
-            C = jnp.asarray(_bias_row(p, d, bias))
-            outs.append(ctx.mul(s, C[None, :]))
-        return jnp.stack(outs, axis=-2)            # (base, 2, d)
-
     table_specs = [
         pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for t in fwd
     ]
 
-    def run(cv, c_auto, W):
+    def run(cv, c_auto, W, corr=None):
         # cv/c_auto: (N, base, 2, d); W: (base, m, 2, d)
         pad = grid * T - N
         if pad:
             z = jnp.zeros((pad, base, 2, d), dtype=jnp.uint32)
             cv = jnp.concatenate([cv, z], axis=0)
             c_auto = jnp.concatenate([c_auto, z], axis=0)
-        extra = [w_bias_corr(W)] if bias else []
+        if bias and corr is None:
+            corr = w_bias_corr(W, m, bias)
+        extra = [corr] if bias else []
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(cv.shape, jnp.uint32),
@@ -323,13 +329,15 @@ def _keyswitch_call(N: int, m: int, base: int, d: int, interpret: bool):
     return run
 
 
-def keyswitch_fused(cv, c_auto, W, m: int, interpret: bool):
+def keyswitch_fused(cv, c_auto, W, m: int, interpret: bool, corr=None):
     """cv: (N, base, 1, 2, d) NTT; c_auto: same shape, coeff domain
     (already automorphed); W: (base, m, 2, d) NTT.
     Returns cv + KeySwitch_W(c_auto) with the row-1 poly added to the
-    bottom row (server/expand.py _keyswitch_batch semantics)."""
+    bottom row (server/expand.py _keyswitch_batch semantics).
+    corr: precomputed w_bias_corr(W, m, bias) (computed here if None)."""
     N, base = cv.shape[0], cv.shape[1]
     d = cv.shape[-1]
     run = _keyswitch_call(N, m, base, d, interpret)
-    out = run(cv.reshape(N, base, 2, d), c_auto.reshape(N, base, 2, d), W)
+    out = run(cv.reshape(N, base, 2, d), c_auto.reshape(N, base, 2, d), W,
+              corr)
     return out.reshape(cv.shape)

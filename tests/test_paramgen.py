@@ -111,3 +111,22 @@ def test_sweep_artifact_consistent_with_model():
         pe = p_err_bits(p.p_db, p.arb_qprime, s_e, n=n, d=p.poly_len)
         assert pe <= -40.0
         assert abs(pe - float(art["p_err_bits"][i])) < 0.1
+
+
+def test_analyze_err_rate_table_and_extension():
+    # synthetic gaussian errors: the binned rate table must be monotone
+    # non-increasing and the extended width must recover the generator's
+    # scale to within a couple of bits (ref: analyze_err.py:6-23)
+    import numpy as np
+    from spiral_tpu.paramgen.analyze_err import (extend_subg, modulus_cutoff,
+                                                 rate_table)
+    rng = np.random.default_rng(0)
+    width = 2.0 ** 45
+    errs = rng.normal(0, width, size=20000)
+    p = 256
+    bins, rates = rate_table(errs, p)
+    assert len(bins) == len(rates) > 0
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
+    assert rates == modulus_cutoff(errs, bins, p)
+    est = extend_subg(rates[-1], bins[-1], p)
+    assert abs(est - 2 * 45) < 3, est
