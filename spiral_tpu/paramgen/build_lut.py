@@ -25,7 +25,7 @@ DEFAULT_LUT = pathlib.Path(__file__).parent / "tpu_lut.json"
 # entries from other generations instead of mis-ranking against the
 # analytic proxy (VERDICT r3 weak #3 — a stale LUT entry made the CLI
 # pick an unmeasured shape over the measured-best preset).
-KERNEL_VERSION = "r4-fused"
+KERNEL_VERSION = "r5-fused"
 
 
 def lut_key(params) -> str:
@@ -52,7 +52,8 @@ def load_lut(path=DEFAULT_LUT) -> dict:
 
 def measure(params, pack: bool, trials: int = 2,
             stages: bool = False) -> dict:
-    from ..harness import run_variant
+    from ..harness import enable_compilation_cache, run_variant
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
     name = "spiralpack" if pack else "spiral"
     row = run_variant(name, params, rng, trials=trials, want_stages=stages)

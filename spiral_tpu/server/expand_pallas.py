@@ -126,15 +126,45 @@ def _auto_call(n_polys: int, d: int, tile: int, interpret: bool):
     return run
 
 
+@lru_cache(maxsize=None)
+def _tau_slot_perm(d: int, t: int) -> np.ndarray:
+    """NTT-domain slot permutation realizing the automorphism tau_t.
+
+    The Pallas engine's slot z = 128e + c holds x(psi^{1 + 2(e + 16c)})
+    (arith/ntt_pallas.py factorization: X[e,c] = sum_i x_i psi^i
+    w^{i(e+16c)}).  tau_t(x)(psi^u) = x(psi^{u t mod 2d}) and odd*odd
+    stays odd, so the Galois action is a PURE slot permutation — no
+    coefficient-domain +-1 gather/matmul needed (ref: src/poly.cpp:240-261
+    does it in coeff domain; NTT-domain Galois is the standard RLWE
+    trick and is ~free on TPU as one XLA gather)."""
+    assert t % 2 == 1
+    z = np.arange(d)
+    e, c = z // 128, z % 128
+    u = 1 + 2 * (e + 16 * c)
+    u2 = (u * t) % (2 * d)
+    o2 = (u2 - 1) // 2
+    return (128 * (o2 % 16) + o2 // 16).astype(np.int32)
+
+
 def inv_ntt_automorph(cv, t: int, interpret: bool):
-    """cv: (N, base, 1, 2, d) NTT -> tau_t(invNTT(cv)) coeff domain."""
-    N, base = cv.shape[0], cv.shape[1]
+    """cv: (N, base, 1, 2, d) NTT -> tau_t(invNTT(cv)) coeff domain.
+
+    tau_t runs as an NTT-domain slot gather (one fused XLA gather),
+    then a plain engine inverse — the previous automorph-as-int8-
+    permutation-matmul kernel (_auto_call) is kept as an ablation
+    (SPIRAL_AUTO=matmul)."""
+    from ..arith.ntt_pallas import crt_ntt_pallas
+    if _os.environ.get("SPIRAL_AUTO", "") == "matmul":
+        N, base = cv.shape[0], cv.shape[1]
+        d = cv.shape[-1]
+        flat = cv.reshape(N * base, 2, d)
+        tile = min(32, N * base)
+        run = _auto_call(N * base, d, tile, interpret)
+        out = run(flat, jnp.asarray(_perm_i8(d, t)))
+        return out.reshape(cv.shape)
     d = cv.shape[-1]
-    flat = cv.reshape(N * base, 2, d)
-    tile = min(32, N * base)
-    run = _auto_call(N * base, d, tile, interpret)
-    out = run(flat, jnp.asarray(_perm_i8(d, t)))
-    return out.reshape(cv.shape)
+    perm = jnp.asarray(_tau_slot_perm(d, t))
+    return crt_ntt_pallas(d).inverse(cv[..., perm])
 
 
 def _unsigned_digit_rows_2d(x_p, x_b, num_elems: int):
@@ -245,13 +275,20 @@ def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
     return kernel
 
 
+import os as _os
+
+_KS_BUDGET = int(_os.environ.get("SPIRAL_KS_BUDGET", "1152"))
+
+
 def _ks_tile(m: int) -> int:
     """Cts per K2 grid step, sized so the digit working set stays well
-    inside VMEM (digits + int32 NTT intermediates scale with T*m).
+    inside VMEM (digits + int32 NTT intermediates scale with T*m; the
+    forward NTT itself tiles internally at 128 rows, so the budget
+    bounds the digit/NTT-output tensors, not the matmul intermediates).
     Larger steps amortize the per-step serial latency; prefer multiples
-    of 8 so tensors fill whole sublane tiles."""
-    budget = 288  # polys per step through the forward NTT
-    t = max(1, budget // (m + 1))
+    of 8 so tensors fill whole sublane tiles.  r5: budget 288 -> 1152
+    measured faster for the wide m_exp_right=56 gadget (T 5 -> 20)."""
+    t = max(1, _KS_BUDGET // (m + 1))
     return t if t < 8 else (t // 8) * 8
 
 
