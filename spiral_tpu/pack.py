@@ -220,7 +220,8 @@ def regev_to_simple_gsw(cv, V, params: Params):
 
 
 def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
-                     start_round: int = 0, num_rounds: int | None = None):
+                     start_round: int = 0, num_rounds: int | None = None,
+                     fused: bool | None = None):
     """cts_coeff: (T, m, 2, 1, 2, d) coeff, rows in bit-reversed
     further-index order (adjacent pairing — see server/fold.py).
     q_pos/q_neg: (nu2, 2, 2*ell, 2, d) NTT.  Unsigned gadget decomposition
@@ -233,11 +234,11 @@ def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
     import os
     import jax
     mode = os.environ.get("SPIRAL_FOLD", "")
-    if mode != "xla":
+    if mode != "xla" and fused is not False:
         from .server.fold_pallas import (fold_fused_supported,
                                          fold_pack_rounds_fused)
         if fold_fused_supported(params) and (
-                mode in ("fused", "mxu") or
+                fused or mode in ("fused", "mxu") or
                 jax.default_backend() == "tpu"):
             return fold_pack_rounds_fused(cts_coeff, q_pos, q_neg, params,
                                           start_round=start_round,
@@ -259,15 +260,32 @@ def fold_pack_rounds(cts_coeff, q_pos, q_neg, params: Params,
 
 
 def fold_pack(cts_coeff, q_pos, q_neg, params: Params,
-              start_round: int = 0):
+              start_round: int = 0, fused: bool | None = None):
     return fold_pack_rounds(cts_coeff, q_pos, q_neg, params,
-                            start_round=start_round)[:, 0]   # (T, 2, 1, 2, d)
+                            start_round=start_round,
+                            fused=fused)[:, 0]   # (T, 2, 1, 2, d)
 
 
-def pack_ciphertexts(result_cts, v_W, params: Params):
+def pack_ciphertexts(result_cts, v_W, params: Params,
+                     fused: bool | None = None):
     """result_cts: (T=out_n^2, 2, 1, 2, d) coeff, trial (r, c) at r*out_n+c.
     v_W: (out_n, out_n+1, m_conv, 2, d).  Returns (out_n+1, out_n, 2, d) NTT
-    (ref: testing.cpp:198-241)."""
+    (ref: testing.cpp:198-241).
+
+    On TPU under the Pallas NTT engine this dispatches to the fused
+    packing kernel (server/pack_pallas.py, bit-exact — tests);
+    SPIRAL_PACK=xla forces the unfused chain, fused=False pins it
+    (vmapped batch callers)."""
+    import os
+    import jax as _jax
+    mode = os.environ.get("SPIRAL_PACK", "")
+    if mode != "xla" and fused is not False:
+        from .server.pack_pallas import (pack_ciphertexts_fused,
+                                         pack_fused_supported)
+        if pack_fused_supported(params) and (
+                fused or mode == "fused" or
+                _jax.default_backend() == "tpu"):
+            return pack_ciphertexts_fused(result_cts, v_W, params)
     eng = crt_ntt(params.poly_len)
     out_n, m_conv, d = params.out_n, params.m_conv, params.poly_len
     ct1 = result_cts[:, 0:1]
@@ -421,11 +439,11 @@ class PackServer:
             cts_ntt = v.transpose(3, 4, 2, 0, 1)[:, :, :, None]
             return eng.inverse(cts_ntt)
 
-        def fold(cts_coeff, q_pos, q_neg):
-            return fold_pack(cts_coeff, q_pos, q_neg, p)
+        def fold(cts_coeff, q_pos, q_neg, fused=None):
+            return fold_pack(cts_coeff, q_pos, q_neg, p, fused=fused)
 
-        def pack_stage(result):
-            packed = pack_ciphertexts(result, pub.v_W, p)
+        def pack_stage(result, fused=None):
+            packed = pack_ciphertexts(result, pub.v_W, p, fused=fused)
             coeff = eng.inverse(packed)    # (out_n+1, out_n, 2, d)
             from .crypto.decode import modswitch_device
             return modswitch_device(coeff, p)
@@ -469,16 +487,22 @@ class PackServer:
                 lambda s, b: expand(s, b, fused=False))(seeds, packed_bs)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_src_b)
             cts_b = fdim_batch(db_limbs, first_b)
-            results = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
-            return jax.vmap(pack_stage)(results)
+            # vmapping a gridded pallas_call is unsupported; the batch
+            # path pins the unfused fold chain (as SpiralServer does)
+            results = jax.vmap(lambda c, qp, qn: fold(c, qp, qn,
+                                                      fused=False))(
+                cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(lambda r: pack_stage(r, fused=False))(results)
 
         def full_direct_batch(db_limbs, seeds, first_bs, gsw_bs):
             first_b, gsw_cts_b = jax.vmap(reconstruct_direct)(
                 seeds, first_bs, gsw_bs)
             q_pos_b, q_neg_b = jax.vmap(conv_direct)(gsw_cts_b)
             cts_b = fdim_batch(db_limbs, first_b)
-            results = jax.vmap(fold)(cts_b, q_pos_b, q_neg_b)
-            return jax.vmap(pack_stage)(results)
+            results = jax.vmap(lambda c, qp, qn: fold(c, qp, qn,
+                                                      fused=False))(
+                cts_b, q_pos_b, q_neg_b)
+            return jax.vmap(lambda r: pack_stage(r, fused=False))(results)
 
         self._stage_full_packed_batch = jax.jit(full_packed_batch)
         self._stage_full_direct_batch = jax.jit(full_direct_batch)

@@ -94,9 +94,30 @@ def analyze_deviation(lut: dict) -> list:
     return rows
 
 
+def grid_params(spec: str):
+    """"nu1:nu2:tgsw" -> a valid spiral Params (q' from the 2^-40 noise
+    search), or None when the shape fails the correctness bar.  Used to
+    widen the measured LUT beyond the shipped presets (the reference
+    measures a 48-entry (nu1, nu2, t_exp) grid — select_params.py:451-518)."""
+    import dataclasses
+    from ..params import Params
+    from .search import candidate_ok
+    nu_1, nu_2, t_gsw = (int(x) for x in spec.split(":"))
+    base = Params(nu_1=nu_1, nu_2=nu_2, p_db=256, t_gsw=t_gsw, t_conv=4,
+                  t_exp=8, t_exp_right=56)
+    res = candidate_ok(base, pack=False)
+    if res is None:
+        return None
+    _, qbits = res
+    return dataclasses.replace(base, q_prime_bits=qbits)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--presets", default="tiny")
+    ap.add_argument("--grid", default="",
+                    help="extra nu1:nu2:tgsw shapes (comma-separated) "
+                         "measured as spiral configs")
     ap.add_argument("--out", default=str(DEFAULT_LUT))
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--stages", action="store_true",
@@ -111,14 +132,17 @@ def main() -> int:
         print(json.dumps(rows, indent=1))
         return 0
 
-    presets = args.presets.split(",")
-    if len(presets) > 1:
-        # one subprocess per preset: each measurement allocates a multi-GB
-        # DB, and holding several in one process OOMs the chip's HBM
+    presets = [x for x in args.presets.split(",") if x]
+    grid = [x for x in args.grid.split(",") if x]
+    if len(presets) + len(grid) > 1:
+        # one subprocess per measurement: each allocates a multi-GB DB,
+        # and holding several in one process OOMs the chip's HBM
         import subprocess
-        for name in presets:
+        jobs = ([("--presets", n) for n in presets] +
+                [("--grid", g) for g in grid])
+        for flag, name in jobs:
             cmd = [sys.executable, "-m", "spiral_tpu.paramgen.build_lut",
-                   "--presets", name, "--out", args.out,
+                   "--presets", "", flag, name, "--out", args.out,
                    "--trials", str(args.trials)]
             if args.stages:
                 cmd.append("--stages")
@@ -139,6 +163,15 @@ def main() -> int:
         pack = "pack" in name
         print(f"measuring {name}...", file=sys.stderr, flush=True)
         lut[lut_key(params)] = measure(params, pack, args.trials,
+                                       stages=args.stages)
+    for spec in grid:
+        params = grid_params(spec)
+        if params is None:
+            print(f"grid {spec}: fails correctness bar, skipped",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"measuring grid {spec}...", file=sys.stderr, flush=True)
+        lut[lut_key(params)] = measure(params, False, args.trials,
                                        stages=args.stages)
     pathlib.Path(args.out).write_text(json.dumps(lut, indent=1))
     _LUT_CACHE[str(args.out)] = lut

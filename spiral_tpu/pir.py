@@ -137,9 +137,23 @@ class SpiralServer:
             self._implicit_chunks = 0
             if mesh is not None:
                 from .dist.shard import shard_db_limbs
+                from .server.firstdim import (N_LIMBS,
+                                              fused_fdim_supported_shape)
                 self._fdim_u32 = False
+                n_db = mesh.shape["db"]
+                m_local = params.num_per * params.n2 // n_db
+                shard_shape = (2, params.poly_len, db.data.shape[2],
+                               N_LIMBS * m_local)
+                self._fdim_fused = (
+                    mode != "xla" and params.num_per % n_db == 0 and
+                    fused_fdim_supported_shape(shard_shape) and
+                    (mode == "fused" or jax.default_backend() == "tpu"))
+                # shard-local limb-major columns when the fused kernel can
+                # run per shard (VERDICT r4 #4); plain row-major otherwise
                 self._db_limbs = shard_db_limbs(
-                    db_to_mxu_limbs(db.data, row_major=True), mesh)
+                    db_to_mxu_limbs(db.data, row_major=not self._fdim_fused,
+                                    shards=n_db if self._fdim_fused else 0),
+                    mesh)
             else:
                 self._db_limbs = (db.data if self._fdim_u32
                                   else db_to_mxu_limbs(db.data))
@@ -222,6 +236,8 @@ class SpiralServer:
             r_loc = local_rows.bit_length() - 1
             db_spec = _P() if n_chunks else _P(None, None, None, "db")
 
+            fdim_fused = getattr(self, "_fdim_fused", False)
+
             def _local_cts(dbs, qk):
                 """Per-device fdim + inverse NTT: (local_rows, n1, n2, 2, d)."""
                 if n_chunks:
@@ -229,6 +245,12 @@ class SpiralServer:
                     i = jax.lax.axis_index("db")
                     res = _implicit_chunks_loop(dbs, qk, local_chunks,
                                                 i * local_chunks)
+                elif fdim_fused:
+                    # shard-local limb-major layout (db_to_mxu_limbs
+                    # shards=n_db): each device's shard is a j-major
+                    # mini-DB, so the fused Pallas kernel runs per shard
+                    from .server.firstdim import multiply_query_by_db_fused
+                    res = multiply_query_by_db_fused(dbs, qk)
                 else:
                     res = multiply_query_by_db_mxu(dbs, qk,
                                                    row_major=True)
@@ -259,8 +281,9 @@ class SpiralServer:
                          in_specs=(db_spec, _P(), _P(), _P()),
                          out_specs=_P(), check_vma=False)
             def _fdim_fold_all_batch(dbs, qk_b, q_pos_b, q_neg_b):
-                res = multiply_query_by_db_mxu_batch(dbs, qk_b,
-                                                     row_major=True)
+                # shard-local limb-major shards read as row_major=False
+                res = multiply_query_by_db_mxu_batch(
+                    dbs, qk_b, row_major=not fdim_fused)
                 cts_b = eng.inverse(
                     finish_mxu_output_batch(res, local_rows, p.n2))
                 surv_b = jax.vmap(

@@ -277,18 +277,20 @@ def _make_keyswitch_kernel(m: int, base: int, d: int, T: int):
 
 import os as _os
 
-_KS_BUDGET = int(_os.environ.get("SPIRAL_KS_BUDGET", "1152"))
+_KS_BUDGET = int(_os.environ.get("SPIRAL_KS_BUDGET", "896"))
 
 
 def _ks_tile(m: int) -> int:
-    """Cts per K2 grid step, sized so the digit working set stays well
-    inside VMEM (digits + int32 NTT intermediates scale with T*m; the
-    forward NTT itself tiles internally at 128 rows, so the budget
-    bounds the digit/NTT-output tensors, not the matmul intermediates).
-    Larger steps amortize the per-step serial latency; prefer multiples
-    of 8 so tensors fill whole sublane tiles.  r5: budget 288 -> 1152
-    measured faster for the wide m_exp_right=56 gadget (T 5 -> 20)."""
-    t = max(1, _KS_BUDGET // (m + 1))
+    """Cts per K2 grid step, sized so the digit working set stays inside
+    the kernel's scoped-VMEM limit: the dominant live tensors scale with
+    the T*m digit rows (~0.1 MB/row at d=2048 across the i8 digits, the
+    u32 NTT output and the matmul half-splits), so cap T*m at the
+    budget (the forward NTT itself tiles internally at 128 rows).
+    Larger steps amortize per-step serial latency; prefer multiples of 8
+    so tensors fill whole sublane tiles.  r5: row-cap 896 measured
+    faster for the wide m_exp_right=56 gadget (T 5 -> 16) and fits the
+    100 MB scoped limit at m=16/T=56 (T=64 overflowed it)."""
+    t = max(1, _KS_BUDGET // m)
     return t if t < 8 else (t // 8) * 8
 
 

@@ -55,19 +55,28 @@ def _to_limbs_i8(v, axis_last: bool = True):
     return jnp.stack(limbs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("row_major",))
-def db_to_mxu_limbs(db_data, row_major: bool = False):
+@functools.partial(jax.jit, static_argnames=("row_major", "shards"))
+def db_to_mxu_limbs(db_data, row_major: bool = False, shards: int = 0):
     """(num_per, n2, K, 2, d) u32 -> (2, d, K, N_LIMBS*num_per*n2) int8.
 
     Default column order is limb-MAJOR (j, row): the recombination then
     slices whole row-blocks per limb pair — the layout the fused Pallas
     kernel needs (Mosaic cannot split the minor axis below 128 lanes).
     row_major=True emits (row, j) columns instead — required when the
-    column axis is row-sharded over a device mesh (dist/shard.py)."""
+    column axis is row-sharded over a device mesh (dist/shard.py).
+    shards=S emits (shard, j, row_local, c) columns: splitting the
+    column axis over S devices then yields a LIMB-MAJOR mini-DB per
+    shard, so the fused Pallas kernel runs under the mesh whenever the
+    per-shard column count num_per*n2/S is a multiple of 128
+    (VERDICT r4 next #4)."""
     num_per, n2, K = db_data.shape[0], db_data.shape[1], db_data.shape[2]
     d = db_data.shape[-1]
     limbs = _to_limbs_i8(db_data)            # (num_per, n2, K, 2, d, 4)
-    if row_major:
+    if shards:
+        assert not row_major and num_per % shards == 0
+        v = limbs.reshape(shards, num_per // shards, n2, K, 2, d, N_LIMBS)
+        t = v.transpose(4, 5, 3, 0, 6, 1, 2)    # (2, d, K, S, 4, npl, n2)
+    elif row_major:
         t = limbs.transpose(3, 4, 2, 0, 1, 5)   # (2, d, K, np, n2, 4)
     else:
         t = limbs.transpose(3, 4, 2, 5, 0, 1)   # (2, d, K, 4, np, n2)
@@ -204,10 +213,17 @@ def _fdim_fused_kernel(G: int, m: int):
     return kernel
 
 
-def fused_fdim_supported(db_limbs) -> bool:
-    crt, d, K, N = db_limbs.shape
+def fused_fdim_supported_shape(shape) -> bool:
+    """Mosaic constraints for the fused kernel on a (2, d, K, 4m) limb
+    tensor: the recombination slices the lane axis in whole m-column
+    blocks (>= 128 lanes each), and the grid tiles d by _BD."""
+    crt, d, K, N = shape
     m = N // N_LIMBS
     return m % 128 == 0 and d % _BD == 0 and K % 8 == 0
+
+
+def fused_fdim_supported(db_limbs) -> bool:
+    return fused_fdim_supported_shape(db_limbs.shape)
 
 
 def multiply_query_by_db_fused(db_limbs, query_k,

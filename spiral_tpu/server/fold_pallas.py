@@ -148,7 +148,7 @@ def _signed_digit_rows_2d(x_p, x_b, num_elems: int):
     from ..arith.u32 import shr_pair
 
     bits_per = get_bits_per(num_elems)
-    assert num_elems * bits_per < 64, (num_elems, bits_per)
+    assert (num_elems - 1) * bits_per < 64, (num_elems, bits_per)
     z = 1 << bits_per
     half_z = jnp.uint32(z // 2)
     hi, lo = lift_pair(x_p, x_b)
@@ -230,7 +230,8 @@ def _signed_digit_rows_i8(x_p, x_b, num_elems: int):
 
     bits_per = get_bits_per(num_elems)
     assert bits_per <= 7, bits_per
-    assert num_elems * bits_per < 64, (num_elems, bits_per)
+    # highest digit shift is (num_elems-1)*bits_per; shr_pair needs < 64
+    assert (num_elems - 1) * bits_per < 64, (num_elems, bits_per)
     z = 1 << bits_per
     half_z = jnp.uint32(z // 2)
     hi, lo = lift_pair(x_p, x_b)

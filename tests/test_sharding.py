@@ -142,3 +142,57 @@ def test_mesh_implicit_db_matches_single_device():
                                   np.asarray(resp_ref.first_row))
     np.testing.assert_array_equal(np.asarray(resp_mesh.rest_rows),
                                   np.asarray(resp_ref.rest_rows))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_fused_fdim_matches_xla_at_d2048():
+    """Fused Pallas fdim per shard (shard-local limb-major layout,
+    db_to_mxu_limbs shards=8) must be bit-equal to the XLA limb path on
+    the same mesh at d=2048 (VERDICT r4 next #4: num_per*n2/n_dev = 128
+    columns per device satisfies the Mosaic 128-lane constraint)."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from spiral_tpu.server.firstdim import (
+        db_to_mxu_limbs, fused_fdim_supported_shape,
+        multiply_query_by_db_fused, multiply_query_by_db_mxu, N_LIMBS)
+    from spiral_tpu.dist.shard import shard_db_limbs
+
+    d, K, n1, n2, num_per, n_dev = 2048, 8, 3, 2, 512, 8
+    rng = np.random.default_rng(3)
+    mods = np.array([P_I, B_I], dtype=np.uint64).reshape(1, 1, 1, 2, 1)
+    db_u32 = (rng.integers(0, 2**28, size=(num_per, n2, K, 2, d),
+                           dtype=np.uint64) % mods).astype(np.uint32)
+    qk = (rng.integers(0, 2**28, size=(K, n1, 2, d), dtype=np.uint64) %
+          mods.reshape(1, 1, 2, 1)).astype(np.uint32)
+    qk = jnp.asarray(qk)
+
+    m_local = num_per * n2 // n_dev
+    assert fused_fdim_supported_shape((2, d, K, N_LIMBS * m_local))
+
+    # XLA limb path on the (row-major, sharded) layout
+    mesh = make_db_mesh(jax.devices()[:8])
+    db_row = shard_db_limbs(
+        db_to_mxu_limbs(jnp.asarray(db_u32), row_major=True), mesh)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(None, None, None, "db"), P()),
+                       out_specs=P(None, None, None, "db"),
+                       check_vma=False)
+    def xla_path(dbs, qk):
+        return multiply_query_by_db_mxu(dbs, qk, row_major=True)
+
+    want = np.asarray(xla_path(db_row, qk))
+
+    # fused Pallas kernel per shard on the shard-local limb-major layout
+    db_jm = shard_db_limbs(
+        db_to_mxu_limbs(jnp.asarray(db_u32), shards=n_dev), mesh)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(None, None, None, "db"), P()),
+                       out_specs=P(None, None, None, "db"),
+                       check_vma=False)
+    def fused_path(dbs, qk):
+        return multiply_query_by_db_fused(dbs, qk)
+
+    got = np.asarray(fused_path(db_jm, qk))
+    np.testing.assert_array_equal(got, want)
