@@ -375,7 +375,13 @@ class SpiralServer:
         # database.  No reference counterpart (single query at a time).
         def fdim_batch(db_limbs, C_reg_b):
             qk = jax.vmap(reorient_query)(C_reg_b)   # (B, K, n1, 2, d)
-            res = multiply_query_by_db_mxu_batch(db_limbs, qk)
+            if n_chunks:
+                from .server.firstdim import (
+                    multiply_query_by_db_implicit_batch)
+                res = multiply_query_by_db_implicit_batch(db_limbs, qk,
+                                                          n_chunks)
+            else:
+                res = multiply_query_by_db_mxu_batch(db_limbs, qk)
             cts_ntt = finish_mxu_output_batch(res, p.num_per, p.n2)
             return eng.inverse(cts_ntt)
 
@@ -499,9 +505,9 @@ class SpiralServer:
         (list[Response], seconds).  All queries must share the upload form
         (the Params fix it).  First call per batch size pays the compile."""
         assert queries, "empty batch"
-        if self._implicit_chunks or self._fdim_u32:
+        if self._fdim_u32:
             raise ValueError(
-                "batched serving requires the explicit MXU database layout")
+                "batched serving requires the MXU database layout")
         seeds = jnp.asarray([q.seed for q in queries], dtype=jnp.int32)
         tick = time.perf_counter
         if queries[0].packed_b is not None:

@@ -287,10 +287,13 @@ def _ks_tile(m: int) -> int:
     u32 NTT output and the matmul half-splits), so cap T*m at the
     budget (the forward NTT itself tiles internally at 128 rows).
     Larger steps amortize per-step serial latency; prefer multiples of 8
-    so tensors fill whole sublane tiles.  r5: row-cap 896 measured
-    faster for the wide m_exp_right=56 gadget (T 5 -> 16) and fits the
-    100 MB scoped limit at m=16/T=56 (T=64 overflowed it)."""
-    t = max(1, _KS_BUDGET // m)
+    so tensors fill whole sublane tiles.  T itself is also capped at 32:
+    the key-switch matmul broadcasts its W operand over T*d lanes per
+    term, and the live broadcast temporaries scale with T (measured:
+    m=16 with T=56 overflowed the 100 MB scoped limit despite fitting
+    the row budget; T=32 compiles for every production m).  r5: row-cap
+    896 is what lifts the wide m_exp_right=56 gadget from T=5 to 16."""
+    t = min(32, max(1, _KS_BUDGET // m))
     return t if t < 8 else (t // 8) * 8
 
 

@@ -95,3 +95,24 @@ def test_pack_implicit_pipeline_runs():
     resp, s = server.process_query_fused(client.query(0))
     assert s > 0
     assert np.asarray(resp.first_row).shape == (1, p.out_n, p.poly_len)
+
+
+def test_implicit_batch_serving_runs():
+    """Batched serving over an implicit DB (the huge-DB aggregate-
+    throughput mode): same chunked-slab arithmetic with the batch folded
+    into the MXU lhs.  Correctness of the underlying kernel vs the
+    explicit path is covered above; here the full batch pipeline must
+    run and emit responses of the singles' shape."""
+    p = _params()
+    rng = np.random.default_rng(5)
+    client = SpiralClient(p, seed=5)
+    pub = client.setup()
+    db = random_implicit_db(p, rng, max_slab_bytes=1 << 40)
+    server = SpiralServer(p, db, pub)
+    queries = [client.query(int(rng.integers(0, p.total_n)))
+               for _ in range(2)]
+    resps, dt = server.process_query_batch(queries)
+    assert len(resps) == 2
+    single, _ = server.process_query_fused(queries[0])
+    assert resps[0].first_row.shape == single.first_row.shape
+    assert resps[0].rest_rows.shape == single.rest_rows.shape
