@@ -323,15 +323,20 @@ def _implicit_chunks_loop_batch(slab_limbs, query_k_b, num_chunks: int,
     crt, d, K, Ns = slab_limbs.shape
     B, _, n1 = query_k_b.shape[:3]
     m_slab = Ns // N_LIMBS
-    out = jnp.zeros((num_chunks, crt, d, B, n1, m_slab), dtype=jnp.uint32)
+    # accumulator keeps (B*n1) merged so the second-minor dim is a
+    # sublane multiple — a (..., B, n1, m) layout pads n1 3->8 in HBM
+    # (2.7x) and OOM'd the chip at spiral_24 B=8
+    out = jnp.zeros((num_chunks, crt, d, B * n1, m_slab),
+                    dtype=jnp.uint32)
 
     def body(i, out):
         qk = jnp.roll(query_k_b, offset + i, axis=-1)
         res = multiply_query_by_db_mxu_batch(slab_limbs, qk)
-        return jax.lax.dynamic_update_index_in_dim(out, res, i, axis=0)
+        return jax.lax.dynamic_update_index_in_dim(
+            out, res.reshape(crt, d, B * n1, m_slab), i, axis=0)
 
     out = jax.lax.fori_loop(0, num_chunks, body, out)
-    return out.transpose(1, 2, 3, 4, 0, 5).reshape(
+    return out.transpose(1, 2, 3, 0, 4).reshape(
         crt, d, B, n1, num_chunks * m_slab)
 
 

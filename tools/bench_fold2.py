@@ -19,7 +19,7 @@ from spiral_tpu.server.fold_pallas import fold_rounds_fused, fold_rounds_mxu
 p = preset("spiral_20_256")
 d = p.poly_len
 rng = np.random.default_rng(0)
-ITERS = 8
+ITERS = 32   # dilutes the ~22 ms per-execution staging fixed cost
 
 
 def rr(shape):
