@@ -390,8 +390,17 @@ class SpiralServer:
                 return self._fdim_fold_sharded_batch(
                     db_limbs, C_reg_b, q_pos_b, q_neg_b)
             cts_b = fdim_batch(db_limbs, C_reg_b)
-            # fused=False under vmap: the mega-kernels are latency-path
-            # only (a batched pallas grid would need batching rules)
+            # batched fused fold: the batch folds into the kernel grid
+            # with per-query q blocks (vmapping a gridded pallas_call is
+            # unsupported, so this is a dedicated batch entry point)
+            import os as _os
+            if _os.environ.get("SPIRAL_FOLD", "") != "xla":
+                from .server.fold_pallas import (fold_fused_supported,
+                                                 fold_rounds_fused_batch)
+                if fold_fused_supported(p) and \
+                        jax.default_backend() == "tpu":
+                    return fold_rounds_fused_batch(
+                        cts_b, q_pos_b, q_neg_b, p)[:, 0]
             return jax.vmap(
                 lambda c, qp, qn: fold(c, qp, qn, fused=False)
             )(cts_b, q_pos_b, q_neg_b)

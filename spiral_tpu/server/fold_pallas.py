@@ -482,6 +482,115 @@ def fold_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
     return cts_coeff
 
 
+def _make_fold_kernel_batch(t_gsw: int, n1: int, n2: int, d: int, TC: int,
+                            signed: bool = True):
+    """Batch variant: q/corr arrive with a leading per-query block dim
+    (their BlockSpecs index by grid position // steps-per-query)."""
+    base = _make_fold_kernel(t_gsw, n1, n2, d, TC, signed)
+    _, bias = _fold_digit_mode(t_gsw, signed)
+
+    def kernel(cts_ref, q_ref, f1, f2, f3, f4, i1, i2, i3, i4, *rest):
+        class _Squeeze:
+            def __init__(self, ref):
+                self._ref = ref
+
+            def __getitem__(self, idx):
+                return self._ref[(0,) + (idx if isinstance(idx, tuple)
+                                         else (idx,))]
+        if bias > 0:
+            corr_ref, out_ref = rest
+            base(cts_ref, _Squeeze(q_ref), f1, f2, f3, f4, i1, i2, i3, i4,
+                 _Squeeze(corr_ref), out_ref)
+        else:
+            base(cts_ref, _Squeeze(q_ref), f1, f2, f3, f4, i1, i2, i3, i4,
+                 *rest)
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _fold_round_call_batch(B: int, m_out: int, t_gsw: int, n1: int, n2: int,
+                           d: int, interpret: bool, signed: bool = True,
+                           tc: int | None = None):
+    """One fold round over a BATCH of queries in one pallas_call: the
+    grid runs over all B*m_out output cts; the q/corr operands are
+    blocked per query (grid index // steps-per-query), so each query
+    folds against its own GSW query tensors — the batched-serving analog
+    of the single-query mega-kernel (no reference counterpart)."""
+    m2 = t_gsw * n1
+    TC = min(_FOLD_TC if tc is None else tc, m_out)
+    spq = m_out // TC                     # grid steps per query
+    kernel = _make_fold_kernel_batch(t_gsw, n1, n2, d, TC, signed)
+    _, bias = _fold_digit_mode(t_gsw, signed)
+    has_corr = bias > 0
+    fwd, inv = _fold_tables(d)
+    tabs = fwd + inv
+    table_specs = [
+        pl.BlockSpec(t.shape, lambda i, nd=t.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for t in tabs
+    ]
+    extra_specs = []
+    if has_corr:
+        extra_specs.append(pl.BlockSpec(
+            (1, n1, 2, d), lambda i: (i // spq, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    def run(cts_pairs, q_cat_b, corr_b=None):
+        extra = [corr_b] if has_corr else []
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B * m_out, n1, n2, 2, d),
+                                           jnp.uint32),
+            grid=(B * m_out // TC,),
+            in_specs=[
+                pl.BlockSpec((TC, 2, n1, n2, 2, d),
+                             lambda i: (i, 0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n1, m2, 2, d),
+                             lambda i: (i // spq, 0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + table_specs + extra_specs,
+            out_specs=pl.BlockSpec((TC, n1, n2, 2, d),
+                                   lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(cts_pairs, q_cat_b, *[jnp.asarray(t) for t in tabs], *extra)
+
+    return run
+
+
+def fold_rounds_fused_batch(cts_b, q_pos_b, q_neg_b, params: Params,
+                            start_round: int = 0,
+                            num_rounds: int | None = None,
+                            interpret: bool | None = None):
+    """Batched fold_rounds_fused: cts_b (B, m, n1, n2, 2, d) coeff,
+    q_pos_b/q_neg_b (B, nu_2, n1, m2, 2, d) NTT.  Bit-identical to
+    vmapping the unfused chain (tests)."""
+    from ..params import get_bits_per
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, m = cts_b.shape[0], cts_b.shape[1]
+    total = m.bit_length() - 1
+    rounds = total if num_rounds is None else num_rounds
+    p = params
+    i8 = get_bits_per(p.t_gsw) <= 7
+    for r in range(start_round, start_round + rounds):
+        m //= 2
+        pairs = cts_b.reshape((B * m, 2) + cts_b.shape[2:])
+        q_cat_b = jnp.stack([q_neg_b[:, r], q_pos_b[:, r]], axis=1)
+        corr_b = (jax.vmap(_fold_bias_corr)(q_pos_b[:, r], q_neg_b[:, r])
+                  if i8 else None)
+        run = _fold_round_call_batch(B, m, p.t_gsw, p.n1, p.n2,
+                                     p.poly_len, interpret)
+        out = run(pairs, q_cat_b, corr_b)
+        cts_b = out.reshape((B, m) + out.shape[1:])
+    return cts_b
+
+
 _PACK_FOLD_TC = int(os.environ.get("SPIRAL_PACK_FOLD_TC", "8"))
 
 

@@ -86,6 +86,27 @@ def test_fold_mxu_partial_rounds():
     np.testing.assert_array_equal(np.asarray(ref2), np.asarray(mxu2))
 
 
+def test_fold_fused_batch_bit_exact():
+    # batched fused fold (per-query q blocks in the kernel grid) vs the
+    # vmapped unfused chain, production-width i8 digits
+    import jax
+    from spiral_tpu.server.fold_pallas import fold_rounds_fused_batch
+    p = Params(nu_1=2, nu_2=3, p_db=256, t_gsw=9, t_conv=4,
+               t_exp=8, t_exp_right=8)
+    rng = np.random.default_rng(31)
+    B, m, d = 2, 1 << p.nu_2, p.poly_len
+    cts_b = _rand_residues(rng, (B, m, p.n1, p.n2, d))
+    qp_c = _rand_residues(rng, (B, p.nu_2, p.n1, p.m2, d))
+    qn_c = _rand_residues(rng, (B, p.nu_2, p.n1, p.m2, d))
+    eng, pe = crt_ntt(d), crt_ntt_pallas(d)
+    ref = jax.vmap(lambda c, qp, qn: fold_rounds(c, qp, qn, p,
+                                                 fused=False))(
+        cts_b, eng.forward(qp_c), eng.forward(qn_c))
+    got = fold_rounds_fused_batch(cts_b, pe.forward(qp_c),
+                                  pe.forward(qn_c), p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def _setup_pack(p, seed, T):
     rng = np.random.default_rng(seed)
     m = 1 << p.nu_2
