@@ -487,21 +487,31 @@ class PackServer:
                 lambda s, b: expand(s, b, fused=False))(seeds, packed_bs)
             q_pos_b, q_neg_b = jax.vmap(conv)(gsw_src_b)
             cts_b = fdim_batch(db_limbs, first_b)
-            # vmapping a gridded pallas_call is unsupported; the batch
-            # path pins the unfused fold chain (as SpiralServer does)
-            results = jax.vmap(lambda c, qp, qn: fold(c, qp, qn,
-                                                      fused=False))(
-                cts_b, q_pos_b, q_neg_b)
+            results = _fold_batch(cts_b, q_pos_b, q_neg_b)
             return jax.vmap(lambda r: pack_stage(r, fused=False))(results)
+
+        def _fold_batch(cts_b, q_pos_b, q_neg_b):
+            # batched fused fold (per-query q blocks in the kernel grid)
+            # on TPU; vmapped unfused chain elsewhere (a gridded
+            # pallas_call is not vmappable)
+            import os as _os
+            if _os.environ.get("SPIRAL_FOLD", "") != "xla":
+                from .server.fold_pallas import (fold_fused_supported,
+                                                 fold_pack_rounds_fused_batch)
+                if fold_fused_supported(p) and \
+                        jax.default_backend() == "tpu":
+                    return fold_pack_rounds_fused_batch(
+                        cts_b, q_pos_b, q_neg_b, p)[:, :, 0]
+            return jax.vmap(lambda c, qp, qn: fold(c, qp, qn,
+                                                   fused=False))(
+                cts_b, q_pos_b, q_neg_b)
 
         def full_direct_batch(db_limbs, seeds, first_bs, gsw_bs):
             first_b, gsw_cts_b = jax.vmap(reconstruct_direct)(
                 seeds, first_bs, gsw_bs)
             q_pos_b, q_neg_b = jax.vmap(conv_direct)(gsw_cts_b)
             cts_b = fdim_batch(db_limbs, first_b)
-            results = jax.vmap(lambda c, qp, qn: fold(c, qp, qn,
-                                                      fused=False))(
-                cts_b, q_pos_b, q_neg_b)
+            results = _fold_batch(cts_b, q_pos_b, q_neg_b)
             return jax.vmap(lambda r: pack_stage(r, fused=False))(results)
 
         self._stage_full_packed_batch = jax.jit(full_packed_batch)

@@ -594,6 +594,33 @@ def fold_rounds_fused_batch(cts_b, q_pos_b, q_neg_b, params: Params,
 _PACK_FOLD_TC = int(os.environ.get("SPIRAL_PACK_FOLD_TC", "8"))
 
 
+def fold_pack_rounds_fused_batch(cts_b, q_pos_b, q_neg_b, params: Params,
+                                 interpret: bool | None = None):
+    """Batched fused pack fold: cts_b (B, T, m, 2, 1, 2, d) coeff;
+    q_pos_b/q_neg_b (B, nu2, 2, 2*t_gsw, 2, d) NTT.  Each query's T*m/2
+    pair-folds share that query's q blocks in the kernel grid (the same
+    per-query BlockSpec indexing as fold_rounds_fused_batch)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = params
+    B, T, m = cts_b.shape[0], cts_b.shape[1], cts_b.shape[2]
+    total = m.bit_length() - 1
+    _, bias = _fold_digit_mode(p.t_gsw, signed=False)
+    d = cts_b.shape[-1]
+    for r in range(total):
+        m //= 2
+        pairs = cts_b.reshape(B * T * m, 2, 2, 1, 2, d)
+        q_cat_b = jnp.stack([q_neg_b[:, r], q_pos_b[:, r]], axis=1)
+        corr_b = (jax.vmap(lambda qp, qn: _fold_bias_corr(qp, qn, bias))(
+            q_pos_b[:, r], q_neg_b[:, r]) if bias else None)
+        run = _fold_round_call_batch(B, T * m, p.t_gsw, 2, 1, d,
+                                     interpret, signed=False,
+                                     tc=_PACK_FOLD_TC)
+        out = run(pairs, q_cat_b, corr_b)
+        cts_b = out.reshape(B, T, m, 2, 1, 2, d)
+    return cts_b
+
+
 def fold_pack_rounds_fused(cts_coeff, q_pos, q_neg, params: Params,
                            start_round: int = 0,
                            num_rounds: int | None = None,

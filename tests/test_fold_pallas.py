@@ -156,3 +156,24 @@ def test_fold_fused_partial_rounds():
     fused2 = fold_rounds_fused(fused, qp_p, qn_p, p, start_round=2,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(ref2), np.asarray(fused2))
+
+
+def test_fold_pack_fused_batch_bit_exact():
+    import jax
+    from spiral_tpu.pack import fold_pack_rounds
+    from spiral_tpu.server.fold_pallas import fold_pack_rounds_fused_batch
+    p = Params(nu_1=2, nu_2=2, p_db=256, t_gsw=9, t_conv=4,
+               t_exp=8, t_exp_right=8, out_n=2)
+    rng = np.random.default_rng(37)
+    B, T, m, d = 2, 4, 1 << p.nu_2, p.poly_len
+    cts_b = _rand_residues(rng, (B, T, m, 2, 1, d))
+    qp_c = _rand_residues(rng, (B, p.nu_2, 2, 2 * p.t_gsw, d))
+    qn_c = _rand_residues(rng, (B, p.nu_2, 2, 2 * p.t_gsw, d))
+    eng, pe = crt_ntt(d), crt_ntt_pallas(d)
+    ref = jax.vmap(lambda c, qp, qn: fold_pack_rounds(c, qp, qn, p,
+                                                      fused=False))(
+        cts_b, eng.forward(qp_c), eng.forward(qn_c))
+    got = fold_pack_rounds_fused_batch(cts_b, pe.forward(qp_c),
+                                       pe.forward(qn_c), p,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
