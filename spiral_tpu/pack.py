@@ -496,10 +496,12 @@ class PackServer:
             # pallas_call is not vmappable)
             import os as _os
             if _os.environ.get("SPIRAL_FOLD", "") != "xla":
-                from .server.fold_pallas import (fold_fused_supported,
+                from .server.fold_pallas import (_fold_digit_mode,
+                                                 fold_fused_supported,
                                                  fold_pack_rounds_fused_batch)
                 if fold_fused_supported(p) and \
-                        jax.default_backend() == "tpu":
+                        _fold_digit_mode(p.t_gsw, signed=False)[0] == "i8u" \
+                        and jax.default_backend() == "tpu":
                     return fold_pack_rounds_fused_batch(
                         cts_b, q_pos_b, q_neg_b, p)[:, :, 0]
             return jax.vmap(lambda c, qp, qn: fold(c, qp, qn,

@@ -605,7 +605,8 @@ def fold_pack_rounds_fused_batch(cts_b, q_pos_b, q_neg_b, params: Params,
     p = params
     B, T, m = cts_b.shape[0], cts_b.shape[1], cts_b.shape[2]
     total = m.bit_length() - 1
-    _, bias = _fold_digit_mode(p.t_gsw, signed=False)
+    kind, bias = _fold_digit_mode(p.t_gsw, signed=False)
+    assert kind == "i8u", kind   # callers gate on int8 digit widths
     d = cts_b.shape[-1]
     for r in range(total):
         m //= 2

@@ -133,7 +133,11 @@ def _pack_call(out_n: int, m_conv: int, d: int, interpret: bool):
 
 def pack_fused_supported(params) -> bool:
     from .fold_pallas import fold_fused_supported
-    return fold_fused_supported(params)
+    # wide packing gadgets (m_conv*out_n > 64 contraction terms, e.g.
+    # streampack m_conv=56/out_n=4) exceed the VMEM budget at d=2048;
+    # the unfused chain serves those (measured r5)
+    return (fold_fused_supported(params) and
+            params.m_conv * params.out_n <= 64)
 
 
 def pack_ciphertexts_fused(result_cts, v_W, params,
