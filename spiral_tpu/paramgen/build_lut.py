@@ -87,10 +87,12 @@ def analyze_deviation(lut: dict) -> list:
         pack = "pack" in str(entry.get("variant", ""))
         model_s = tpu_cost_proxy(p, pack)
         meas = entry.get("pipelined_s") or entry["server_s"]
+        stale = entry.get("kernel_version") != KERNEL_VERSION
         rows.append({"key": key, "measured_s": meas,
                      "model_s": round(model_s, 4),
                      "ratio": round(meas / model_s, 3) if model_s else None,
-                     "is_corr": entry.get("is_corr")})
+                     "is_corr": entry.get("is_corr"),
+                     "stale_kernel": stale})
     return rows
 
 

@@ -54,15 +54,20 @@ def tpu_cost_proxy(params: Params, pack: bool) -> float:
     hbm_bps = 8e11
     fdim = db_stream / hbm_bps
 
-    # per-stage per-poly costs fit to the round-4 measured stage times at
-    # spiral_20_256 on v5e (expansion 9.6 ms / 67.6k polys, conversion
-    # 2.3 ms / 3.0k, folding 8.4 ms / 15.4k — fused mega-kernels); the
-    # stages have different effective per-poly cost because each "poly"
-    # carries a different amount of gadget/matmul work
+    # r5 refit (NNLS against the r5-fused measured LUT's pipelined_s,
+    # 8 correct spiral/pack entries): the proxy now models the measured
+    # quantity — steady-state serving including the attachment's
+    # ~28 ms per-query serving floor and the query upload (matters for
+    # the direct-upload stream variants: ~88 ms/GB through the tunnel).
+    # Remaining deviation (worst ~1.3x) is run-to-run variance of the
+    # floor, not shape-dependent error; ranking across tiers is further
+    # protected by the measured-entry preference in _better().
     scale = d * math.log2(d) / (2048 * 11)     # d-dependence of NTT work
-    exp_cost = 0.142e-6 * scale
-    conv_cost = 0.75e-6 * scale
-    fold_cost = 0.55e-6 * scale
+    exp_cost = 0.05e-6 * scale
+    conv_cost = 1.01e-6 * scale
+    fold_cost = 0.97e-6 * scale
+    serve_floor = 0.028
+    upload_s = params.query_size_bytes() * 88.4e-12
     exp_polys = 0.0
     if not params.direct_upload_first:
         exp_polys = 2.0 * (2 ** params.g) * (
@@ -72,9 +77,8 @@ def tpu_cost_proxy(params: Params, pack: bool) -> float:
     fold_polys = 2 * total_n // params.dim0 * params.n1 * params.n2 * \
         (1 + params.t_gsw)
     pack_polys = params.out_n ** 2 * params.m_conv if pack else 0
-    return fdim + exp_cost * exp_polys + conv_cost * (conv_polys +
-                                                      pack_polys) + \
-        fold_cost * fold_polys
+    return serve_floor + upload_s + fdim + exp_cost * exp_polys + \
+        conv_cost * (conv_polys + pack_polys) + fold_cost * fold_polys
 
 
 def _better(cand: "Selected", best: "Selected | None") -> bool:
